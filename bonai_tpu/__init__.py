@@ -1,0 +1,22 @@
+"""bonai_tpu — a TPU-native (JAX/XLA/Pallas) rebuild of the BONAI framework.
+
+BONAI (reference: jwwangchn/BONAI, an mmdetection-v2.3 fork) trains LOFT —
+a Mask R-CNN-style detector with a roof→footprint offset branch — on off-nadir
+aerial imagery.  This package re-designs that stack TPU-first:
+
+- static-shape, batched, masked detection core (no per-image python loops)
+- flax.linen models compiled under a single pjit'd train step
+- data parallelism via ``jax.sharding.Mesh`` + psum over ICI
+- Pallas/XLA kernels for RoIAlign and NMS instead of CUDA extensions
+- numpy/cv2 host input pipeline (the reference uses torch DataLoader workers)
+
+Public surface mirrors the reference: python-file configs with ``_base_``
+inheritance, string-typed registries, ``tools/train.py`` / ``tools/test.py``
+CLIs, pkl/CSV eval artifacts.
+"""
+
+from .version import __version__
+from .config import Config
+from .registry import Registry, build_from_cfg
+
+__all__ = ["__version__", "Config", "Registry", "build_from_cfg"]

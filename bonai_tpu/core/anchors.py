@@ -1,0 +1,114 @@
+"""Anchor generation (static, computed once at trace time).
+
+reference: ``mmdet/core/anchor/anchor_generator.py:10-330``.  Anchors are
+pure functions of static feature-map sizes, so we build them in numpy and
+embed them as constants in the compiled graph.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..registry import Registry, build_from_cfg
+
+ANCHOR_GENERATORS = Registry("anchor_generator")
+
+
+def build_anchor_generator(cfg, **default_args):
+    return build_from_cfg(cfg, ANCHOR_GENERATORS, default_args)
+
+
+@ANCHOR_GENERATORS.register_module()
+class AnchorGenerator:
+    def __init__(self, strides, ratios, scales=None, base_sizes=None,
+                 scale_major=True, octave_base_scale=None,
+                 scales_per_octave=None, centers=None, center_offset=0.):
+        self.strides = [(s, s) if isinstance(s, (int, float)) else tuple(s)
+                        for s in strides]
+        self.base_sizes = ([min(s) for s in self.strides]
+                           if base_sizes is None else list(base_sizes))
+        if scales is not None:
+            self.scales = np.asarray(scales, np.float32)
+        elif octave_base_scale is not None and scales_per_octave is not None:
+            octave_scales = np.array(
+                [2 ** (i / scales_per_octave) for i in range(scales_per_octave)])
+            self.scales = (octave_scales * octave_base_scale).astype(np.float32)
+        else:
+            raise ValueError("either scales or octave_base_scale+scales_per_"
+                             "octave must be set")
+        self.ratios = np.asarray(ratios, np.float32)
+        self.scale_major = scale_major
+        self.centers = centers
+        self.center_offset = center_offset
+        self.base_anchors = self.gen_base_anchors()
+
+    @property
+    def num_levels(self):
+        return len(self.strides)
+
+    @property
+    def num_base_anchors(self):
+        return [a.shape[0] for a in self.base_anchors]
+
+    def gen_base_anchors(self):
+        out = []
+        for i, base_size in enumerate(self.base_sizes):
+            center = self.centers[i] if self.centers is not None else None
+            out.append(self._single_level_base_anchors(
+                base_size, self.scales, self.ratios, center))
+        return out
+
+    def _single_level_base_anchors(self, base_size, scales, ratios,
+                                   center=None):
+        w = h = float(base_size)
+        if center is None:
+            x_c = self.center_offset * w
+            y_c = self.center_offset * h
+        else:
+            x_c, y_c = center
+        h_ratios = np.sqrt(ratios)
+        w_ratios = 1.0 / h_ratios
+        if self.scale_major:
+            ws = (w * w_ratios[:, None] * scales[None, :]).reshape(-1)
+            hs = (h * h_ratios[:, None] * scales[None, :]).reshape(-1)
+        else:
+            ws = (w * scales[:, None] * w_ratios[None, :]).reshape(-1)
+            hs = (h * scales[:, None] * h_ratios[None, :]).reshape(-1)
+        return np.stack([x_c - 0.5 * ws, y_c - 0.5 * hs,
+                         x_c + 0.5 * ws, y_c + 0.5 * hs], axis=-1)
+
+    def grid_anchors(self, featmap_sizes):
+        """list of ``(H*W*A, 4)`` float32 arrays, row-major over (y, x, a)."""
+        assert len(featmap_sizes) == self.num_levels
+        return [self._single_level_grid_anchors(
+            self.base_anchors[i], featmap_sizes[i], self.strides[i])
+            for i in range(self.num_levels)]
+
+    @staticmethod
+    def _single_level_grid_anchors(base_anchors, featmap_size, stride):
+        feat_h, feat_w = featmap_size
+        shift_x = np.arange(0, feat_w, dtype=np.float32) * stride[0]
+        shift_y = np.arange(0, feat_h, dtype=np.float32) * stride[1]
+        # row-major (first feat_w entries = first row), matching reference
+        xx = np.tile(shift_x, feat_h)
+        yy = np.repeat(shift_y, feat_w)
+        shifts = np.stack([xx, yy, xx, yy], axis=-1)
+        all_anchors = base_anchors[None, :, :] + shifts[:, None, :]
+        return all_anchors.reshape(-1, 4).astype(np.float32)
+
+    def valid_flags(self, featmap_sizes, pad_shape):
+        """Per-level bool arrays marking anchors whose grid cell lies inside
+        the un-padded image region (reference: ``anchor_generator.py:273-330``)."""
+        flags = []
+        for i in range(self.num_levels):
+            feat_h, feat_w = featmap_sizes[i]
+            h, w = pad_shape[:2]
+            valid_h = min(int(np.ceil(h / self.strides[i][1])), feat_h)
+            valid_w = min(int(np.ceil(w / self.strides[i][0])), feat_w)
+            vx = np.zeros(feat_w, bool)
+            vy = np.zeros(feat_h, bool)
+            vx[:valid_w] = True
+            vy[:valid_h] = True
+            vv = (vy[:, None] & vx[None, :]).reshape(-1)
+            flags.append(np.repeat(vv, self.num_base_anchors[i]))
+        return flags
