@@ -1,0 +1,200 @@
+"""RoIAlign for TPU.
+
+The reference uses mmcv's CUDA RoIAlign (reference:
+``mmdet/ops/__init__.py:5-17``; used by ``SingleRoIExtractor``,
+``mmdet/models/roi_heads/roi_extractors/single_level_roi_extractor.py:9-93``
+with ``aligned=True`` semantics and ``sampling_ratio=0`` in the BONAI
+configs).  TPU-first redesign:
+
+- **static sampling grid**: the reference's ``sampling_ratio=0`` means an
+  adaptive (data-dependent) number of samples per bin — incompatible with
+  XLA's static shapes.  We use a fixed ``sampling_ratio`` (default 2, the
+  standard TPU detection choice); quality impact is negligible and is
+  covered by tests against an exact numpy reference with the same grid.
+- **one fused gather over all FPN levels**: instead of running RoIAlign per
+  level and masking (4x waste), all level feature maps are flattened into a
+  single ``(sum(B*H*W), C)`` buffer; per-RoI level assignment
+  (``floor(log2(sqrt(wh)/56))``, reference ``single_level_roi_extractor.py:
+  32-52``) turns into per-RoI base offsets, and each bilinear corner is one
+  row-gather.  XLA lowers these to dynamic-slice row fetches (C contiguous
+  in the minor dimension), which is the bandwidth-optimal layout on TPU.
+- fully differentiable (gather transposes to scatter-add for the backward).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _bilinear_params(y, x, height, width):
+    """Corner indices + weights for bilinear interpolation with the
+    standard RoIAlign border handling (points outside [-1, size] contribute
+    zero; coordinates clamped to the valid box)."""
+    outside = (y < -1.0) | (y > height) | (x < -1.0) | (x > width)
+    y = jnp.clip(y, 0.0, height - 1.0)
+    x = jnp.clip(x, 0.0, width - 1.0)
+    y0 = jnp.clip(jnp.floor(y), 0, jnp.maximum(height - 2, 0)).astype(jnp.int32)
+    x0 = jnp.clip(jnp.floor(x), 0, jnp.maximum(width - 2, 0)).astype(jnp.int32)
+    ly = y - y0.astype(y.dtype)
+    lx = x - x0.astype(x.dtype)
+    hy, hx = 1.0 - ly, 1.0 - lx
+    w00 = hy * hx
+    w01 = hy * lx
+    w10 = ly * hx
+    w11 = ly * lx
+    zero = jnp.zeros_like(w00)
+    w00, w01, w10, w11 = (jnp.where(outside, zero, w) for w in
+                          (w00, w01, w10, w11))
+    return y0, x0, (w00, w01, w10, w11)
+
+
+def _sample_coords(rois_xyxy, out_size, sampling_ratio, aligned):
+    """Sample-point coordinates for each RoI.
+
+    Returns ``(R, out_h * out_w * sr * sr)`` y and x arrays (feature-map
+    coordinate space; caller applies spatial scaling to rois first).
+    """
+    out_h, out_w = out_size
+    sr = sampling_ratio
+    offset = 0.5 if aligned else 0.0
+    x1 = rois_xyxy[:, 0] - offset
+    y1 = rois_xyxy[:, 1] - offset
+    x2 = rois_xyxy[:, 2] - offset
+    y2 = rois_xyxy[:, 3] - offset
+    roi_w = x2 - x1
+    roi_h = y2 - y1
+    if not aligned:
+        roi_w = jnp.maximum(roi_w, 1.0)
+        roi_h = jnp.maximum(roi_h, 1.0)
+    bin_h = roi_h / out_h
+    bin_w = roi_w / out_w
+    # grid of (bin index + intra-bin sample position), static shapes
+    iy = (jnp.arange(out_h)[:, None] +
+          (jnp.arange(sr)[None, :] + 0.5) / sr).reshape(-1)   # (out_h*sr,)
+    ix = (jnp.arange(out_w)[:, None] +
+          (jnp.arange(sr)[None, :] + 0.5) / sr).reshape(-1)   # (out_w*sr,)
+    ys = y1[:, None] + bin_h[:, None] * iy[None, :]           # (R, out_h*sr)
+    xs = x1[:, None] + bin_w[:, None] * ix[None, :]           # (R, out_w*sr)
+    # full grid (R, out_h*sr, out_w*sr)
+    ys = jnp.broadcast_to(ys[:, :, None], ys.shape + (xs.shape[1],))
+    xs = jnp.broadcast_to(xs[:, None, :], (xs.shape[0], ys.shape[1],
+                                           xs.shape[1]))
+    return ys, xs
+
+
+def _gather_rows(flat_feats, idx):
+    """Row gather from ``(P, C)``; idx any shape -> (idx.shape + (C,))."""
+    return jnp.take(flat_feats, idx, axis=0)
+
+
+def roi_align(features, rois, output_size, spatial_scale=1.0,
+              sampling_ratio=2, aligned=True):
+    """Single-level RoIAlign.
+
+    Args:
+      features: ``(B, H, W, C)`` NHWC feature map.
+      rois: ``(R, 5)`` as ``[batch_idx, x1, y1, x2, y2]`` (image coords).
+      output_size: int or (out_h, out_w).
+      spatial_scale: feature stride reciprocal.
+      sampling_ratio: static samples-per-bin side (>=1).
+      aligned: half-pixel correction (mmcv 1.x default behaviour).
+
+    Returns ``(R, out_h, out_w, C)``.
+    """
+    if isinstance(output_size, int):
+        output_size = (output_size, output_size)
+    sr = max(int(sampling_ratio), 1)
+    B, H, W, C = features.shape
+    batch_idx = rois[:, 0].astype(jnp.int32)
+    boxes = rois[:, 1:5] * spatial_scale
+    ys, xs = _sample_coords(boxes, output_size, sr, aligned)
+    y0, x0, (w00, w01, w10, w11) = _bilinear_params(ys, xs, H, W)
+
+    flat = features.reshape(B * H * W, C)
+    base = (batch_idx * (H * W))[:, None, None]
+    i00 = base + y0 * W + x0
+    vals = (_gather_rows(flat, i00) * w00[..., None]
+            + _gather_rows(flat, i00 + 1) * w01[..., None]
+            + _gather_rows(flat, i00 + W) * w10[..., None]
+            + _gather_rows(flat, i00 + W + 1) * w11[..., None])
+    R = rois.shape[0]
+    out_h, out_w = output_size
+    vals = vals.reshape(R, out_h, sr, out_w, sr, C)
+    return jnp.mean(vals, axis=(2, 4))
+
+
+def map_roi_levels(rois_xyxy, num_levels, finest_scale=56):
+    """FPN level per RoI (reference:
+    ``single_level_roi_extractor.py:32-52``):
+    ``floor(log2(sqrt(w*h) / finest_scale + 1e-6))`` clamped to range."""
+    w = rois_xyxy[..., 2] - rois_xyxy[..., 0]
+    h = rois_xyxy[..., 3] - rois_xyxy[..., 1]
+    scale = jnp.sqrt(jnp.maximum(w * h, 0.0))
+    lvl = jnp.floor(jnp.log2(scale / finest_scale + 1e-6))
+    return jnp.clip(lvl, 0, num_levels - 1).astype(jnp.int32)
+
+
+def multilevel_roi_align(features, rois, output_size, featmap_strides,
+                         sampling_ratio=2, aligned=True, finest_scale=56,
+                         roi_valid=None):
+    """Fused multi-level RoIAlign over an FPN pyramid.
+
+    Args:
+      features: list of ``(B, Hl, Wl, C)`` maps, one per stride.
+      rois: ``(R, 5)`` ``[batch_idx, x1, y1, x2, y2]`` in image coords.
+      featmap_strides: e.g. ``[4, 8, 16, 32]``.
+      roi_valid: optional ``(R,)`` mask; invalid rois produce zeros.
+
+    Returns ``(R, out_h, out_w, C)``.
+    """
+    if isinstance(output_size, int):
+        output_size = (output_size, output_size)
+    sr = max(int(sampling_ratio), 1)
+    num_levels = len(features)
+    B = features[0].shape[0]
+    C = features[0].shape[-1]
+    dtype = features[0].dtype
+
+    heights = np.array([f.shape[1] for f in features], np.int32)
+    widths = np.array([f.shape[2] for f in features], np.int32)
+    sizes = (B * heights * widths).astype(np.int64)
+    level_offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int32)
+
+    flat = jnp.concatenate(
+        [f.reshape(B * f.shape[1] * f.shape[2], C) for f in features], axis=0)
+
+    boxes = rois[:, 1:5]
+    batch_idx = rois[:, 0].astype(jnp.int32)
+    lvl = map_roi_levels(boxes, num_levels, finest_scale)
+
+    strides = jnp.asarray(featmap_strides, jnp.float32)
+    inv_scale = 1.0 / strides[lvl]                         # (R,)
+    Hl = jnp.asarray(heights)[lvl]
+    Wl = jnp.asarray(widths)[lvl]
+    base_off = jnp.asarray(level_offsets)[lvl] + batch_idx * Hl * Wl
+
+    scaled = boxes * inv_scale[:, None]
+    ys, xs = _sample_coords(scaled, output_size, sr, aligned)
+    y0, x0, (w00, w01, w10, w11) = _bilinear_params(
+        ys, xs, Hl[:, None, None].astype(ys.dtype),
+        Wl[:, None, None].astype(xs.dtype))
+
+    if roi_valid is not None:
+        gate = roi_valid[:, None, None].astype(ys.dtype)
+        w00, w01, w10, w11 = (w * gate for w in (w00, w01, w10, w11))
+        base_off = jnp.where(roi_valid, base_off, 0)
+
+    i00 = base_off[:, None, None] + y0 * Wl[:, None, None] + x0
+    Wrow = Wl[:, None, None]
+    vals = (_gather_rows(flat, i00) * w00[..., None].astype(dtype)
+            + _gather_rows(flat, i00 + 1) * w01[..., None].astype(dtype)
+            + _gather_rows(flat, i00 + Wrow) * w10[..., None].astype(dtype)
+            + _gather_rows(flat, i00 + Wrow + 1) * w11[..., None].astype(dtype))
+    R = rois.shape[0]
+    out_h, out_w = output_size
+    vals = vals.reshape(R, out_h, sr, out_w, sr, C)
+    return jnp.mean(vals, axis=(2, 4))
