@@ -1,0 +1,227 @@
+"""Dataset building + the host-side data loader.
+
+reference: ``mmdet/datasets/builder.py:22-144`` (registries, 5-city concat,
+dataloader construction with Distributed/Group samplers).  TPU replacement:
+a thread-prefetched numpy loader producing fixed-shape padded batches; the
+distributed sharding of the reference's ``DistributedGroupSampler`` becomes
+a per-host slice of the epoch permutation (``shard_id``/``num_shards``).
+Aspect-ratio grouping is degenerate for BONAI's fixed 1024² tiles and is
+intentionally dropped.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..registry import Registry, build_from_cfg
+
+DATASETS = Registry("dataset")
+
+
+def _register_defaults():
+    from .coco import CocoDataset
+    from .bonai import BONAI
+    for cls in (CocoDataset, BONAI):
+        if cls.__name__ not in DATASETS:
+            DATASETS.register_module(module=cls)
+
+
+class ConcatDataset:
+    """reference: 5-city multi-ann-file concat (``builder.py:26-55``)."""
+
+    def __init__(self, datasets):
+        self.datasets = datasets
+        self.cumlens = np.cumsum([len(d) for d in datasets])
+        self.CLASSES = datasets[0].CLASSES
+
+    def __len__(self):
+        return int(self.cumlens[-1])
+
+    def _locate(self, idx):
+        ds = int(np.searchsorted(self.cumlens, idx, side="right"))
+        prev = 0 if ds == 0 else int(self.cumlens[ds - 1])
+        return self.datasets[ds], idx - prev
+
+    def prepare(self, idx, rng=None):
+        d, i = self._locate(idx)
+        return d.prepare(i, rng)
+
+    @property
+    def test_mode(self):
+        return self.datasets[0].test_mode
+
+    def get_ann_info(self, idx):
+        d, i = self._locate(idx)
+        return d.get_ann_info(i)
+
+
+def build_dataset(cfg, default_args=None):
+    _register_defaults()
+    cfg = dict(cfg)
+    ann_file = cfg.get("ann_file")
+    img_prefix = cfg.get("img_prefix", "")
+    if isinstance(ann_file, (list, tuple)):
+        prefixes = (img_prefix if isinstance(img_prefix, (list, tuple))
+                    else [img_prefix] * len(ann_file))
+        parts = []
+        for af, pref in zip(ann_file, prefixes):
+            sub = dict(cfg)
+            sub["ann_file"] = af
+            sub["img_prefix"] = pref
+            parts.append(build_from_cfg(sub, DATASETS, default_args))
+        return ConcatDataset(parts) if len(parts) > 1 else parts[0]
+    return build_from_cfg(cfg, DATASETS, default_args)
+
+
+# ---------------------------------------------------------------------------
+# packing to fixed shapes
+# ---------------------------------------------------------------------------
+
+def rasterize_instance_mask(polys, bbox, size):
+    """Rasterise a multi-part polygon into a bbox-local (size, size) grid."""
+    import cv2
+    x1, y1, x2, y2 = bbox
+    w = max(x2 - x1, 1e-3)
+    h = max(y2 - y1, 1e-3)
+    mask = np.zeros((size, size), np.uint8)
+    pts = []
+    for p in polys:
+        q = np.empty_like(p)
+        q[:, 0] = (p[:, 0] - x1) / w * size
+        q[:, 1] = (p[:, 1] - y1) / h * size
+        if q.shape[0] >= 3:
+            pts.append(np.round(q).astype(np.int32))
+    if pts:
+        cv2.fillPoly(mask, pts, 1)
+    return mask
+
+
+def pack_sample(result, max_gt, inst_mask_size, train=True):
+    """Pipeline output -> fixed-shape numpy sample (model batch contract)."""
+    img = np.ascontiguousarray(result["img"], np.float32)
+    h, w = result["img_shape"][:2]
+    sf = result.get("scale_factor", 1.0)
+    sf = float(np.asarray(sf).reshape(-1)[0])
+    out = {
+        "image": img,
+        "img_shape": np.asarray([h, w], np.float32),
+        "scale_factor": np.float32(sf),
+    }
+    if not train:
+        return out, result.get("img_metas", {})
+    boxes = result.get("gt_bboxes", np.zeros((0, 4), np.float32))
+    labels = result.get("gt_labels", np.zeros((0,), np.int64))
+    offsets = result.get("gt_offsets", np.zeros((len(boxes), 2), np.float32))
+    polys = result.get("gt_masks", [[] for _ in range(len(boxes))])
+    n = min(len(boxes), max_gt)
+    gt_bboxes = np.zeros((max_gt, 4), np.float32)
+    gt_labels = np.zeros((max_gt,), np.int32)
+    gt_valid = np.zeros((max_gt,), bool)
+    gt_offsets = np.zeros((max_gt, 2), np.float32)
+    gt_masks = np.zeros((max_gt, inst_mask_size, inst_mask_size), np.uint8)
+    gt_bboxes[:n] = boxes[:n]
+    gt_labels[:n] = labels[:n]
+    gt_valid[:n] = True
+    gt_offsets[:n] = offsets[:n]
+    for i in range(n):
+        if polys[i]:
+            gt_masks[i] = rasterize_instance_mask(
+                polys[i], boxes[i], inst_mask_size)
+    out.update(gt_bboxes=gt_bboxes, gt_labels=gt_labels, gt_valid=gt_valid,
+               gt_offsets=gt_offsets, gt_masks=gt_masks)
+    return out, result.get("img_metas", {})
+
+
+class DataLoader:
+    """Thread-prefetched fixed-shape batch iterator."""
+
+    def __init__(self, dataset, batch_size, max_gt=128, inst_mask_size=112,
+                 shuffle=True, seed=0, train=True, drop_last=None,
+                 shard_id=0, num_shards=1, prefetch=2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.max_gt = max_gt
+        self.inst_mask_size = inst_mask_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.train = train
+        self.drop_last = train if drop_last is None else drop_last
+        self.shard_id = shard_id
+        self.num_shards = num_shards
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset) // self.num_shards
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def set_epoch(self, epoch):
+        self.epoch = epoch
+
+    def _epoch_indices(self):
+        n = len(self.dataset)
+        rng = np.random.RandomState(self.seed + self.epoch)
+        idx = rng.permutation(n) if self.shuffle else np.arange(n)
+        # per-host shard (reference DistributedGroupSampler semantics)
+        per = n // self.num_shards
+        if per == 0:
+            return idx
+        return idx[self.shard_id * per:(self.shard_id + 1) * per]
+
+    def _load_one(self, idx, rng):
+        for attempt in range(32):
+            res = self.dataset.prepare(int(idx), rng)
+            if res is not None:
+                return pack_sample(res, self.max_gt, self.inst_mask_size,
+                                   self.train)
+            # reference _rand_another retry on empty-GT samples
+            idx = rng.randint(len(self.dataset))
+        raise RuntimeError("too many empty samples")
+
+    def __iter__(self):
+        from concurrent.futures import ThreadPoolExecutor
+        indices = self._epoch_indices()
+        nb = len(self)
+        rng = np.random.RandomState(
+            (self.seed + self.epoch) * 9973 + self.shard_id)
+
+        def make_batch(bi):
+            samples = []
+            metas = []
+            for j in range(self.batch_size):
+                k = bi * self.batch_size + j
+                if k >= len(indices):
+                    k = k % max(len(indices), 1)
+                s, m = self._load_one(indices[k], rng)
+                samples.append(s)
+                metas.append(m)
+            batch = {k: np.stack([s[k] for s in samples])
+                     for k in samples[0]}
+            return batch, metas
+
+        with ThreadPoolExecutor(max_workers=self.prefetch) as ex:
+            futures = [ex.submit(make_batch, i)
+                       for i in range(min(self.prefetch, nb))]
+            nxt = len(futures)
+            for i in range(nb):
+                batch = futures[i % self.prefetch].result()
+                if nxt < nb:
+                    futures[nxt % self.prefetch] = ex.submit(make_batch, nxt)
+                    nxt += 1
+                yield batch
+
+
+def build_dataloader(dataset, samples_per_gpu, workers_per_gpu=2,
+                     num_devices=1, shuffle=True, seed=0, max_gt=128,
+                     inst_mask_size=112, train=True, shard_id=0,
+                     num_shards=1, **kwargs):
+    """reference: ``mmdet/datasets/builder.py:77-144``.  The global batch is
+    ``samples_per_gpu * num_devices`` (DDP parity: per-device batch stays
+    ``samples_per_gpu``)."""
+    return DataLoader(dataset, batch_size=samples_per_gpu * num_devices,
+                      max_gt=max_gt, inst_mask_size=inst_mask_size,
+                      shuffle=shuffle, seed=seed, train=train,
+                      shard_id=shard_id, num_shards=num_shards,
+                      prefetch=max(2, workers_per_gpu))

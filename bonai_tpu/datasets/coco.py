@@ -1,0 +1,106 @@
+"""COCO-style dataset.
+
+reference: ``mmdet/datasets/coco.py:36-233`` + ``custom.py:13-360`` merged —
+annotation loading, image filtering, per-index pipeline execution.  Torch
+DataLoader responsibilities (batching/padding) move to
+``bonai_tpu/datasets/loader.py``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .coco_api import COCOIndex
+from .pipelines import build_pipeline
+
+
+class CocoDataset:
+    CLASSES = None
+
+    def __init__(self, ann_file, pipeline, img_prefix="", classes=None,
+                 test_mode=False, filter_empty_gt=True, min_size=32,
+                 **kwargs):
+        self.ann_file = ann_file
+        self.img_prefix = img_prefix
+        self.test_mode = test_mode
+        self.filter_empty_gt = filter_empty_gt
+        self.min_size = min_size
+        if classes is not None:
+            self.CLASSES = classes
+        self.coco = COCOIndex(ann_file)
+        if self.CLASSES:
+            self.cat_ids = self.coco.get_cat_ids(cat_names=self.CLASSES)
+        else:
+            self.cat_ids = self.coco.get_cat_ids()
+            self.CLASSES = [self.coco.cats[c].get("name", str(c))
+                            for c in self.cat_ids]
+        self.cat2label = {cid: i for i, cid in enumerate(self.cat_ids)}
+        self.img_ids = self.coco.get_img_ids()
+        self.data_infos = self.coco.load_imgs(self.img_ids)
+        for info in self.data_infos:   # mmdet convention
+            info.setdefault("filename", info.get("file_name"))
+        if not test_mode:
+            valid = self._filter_imgs()
+            self.data_infos = [self.data_infos[i] for i in valid]
+            self.img_ids = [self.img_ids[i] for i in valid]
+        self.pipeline = build_pipeline(pipeline)
+
+    def __len__(self):
+        return len(self.data_infos)
+
+    def _filter_imgs(self):
+        """Drop tiny images and (optionally) images without GT
+        (reference ``coco.py:100-122``)."""
+        valid = []
+        for i, info in enumerate(self.data_infos):
+            if min(info["width"], info["height"]) < self.min_size:
+                continue
+            if self.filter_empty_gt:
+                anns = self.coco.load_anns_for_img(info["id"])
+                if not any(a.get("category_id") in self.cat2label
+                           and not a.get("iscrowd", False) for a in anns):
+                    continue
+            valid.append(i)
+        return valid
+
+    def get_ann_info(self, idx):
+        img_info = self.data_infos[idx]
+        anns = self.coco.load_anns_for_img(img_info["id"])
+        return self._parse_ann_info(img_info, anns)
+
+    def _parse_ann_info(self, img_info, ann_info):
+        bboxes, labels, masks = [], [], []
+        for ann in ann_info:
+            if ann.get("ignore", False) or ann.get("iscrowd", False):
+                continue
+            x1, y1, w, h = ann["bbox"]
+            if ann.get("area", w * h) <= 0 or w < 1 or h < 1:
+                continue
+            if ann["category_id"] not in self.cat2label:
+                continue
+            bboxes.append([x1, y1, x1 + w, y1 + h])
+            labels.append(self.cat2label[ann["category_id"]])
+            masks.append(ann.get("segmentation", []))
+        return dict(
+            bboxes=np.asarray(bboxes, np.float32).reshape(-1, 4),
+            labels=np.asarray(labels, np.int64),
+            masks=masks,
+            offsets=np.zeros((len(bboxes), 2), np.float32),
+        )
+
+    def prepare(self, idx, rng=None):
+        """Run the pipeline for one index; returns the result dict or None
+        for empty-GT training images (caller retries — reference
+        ``custom.py:175-194``)."""
+        img_info = self.data_infos[idx]
+        results = dict(img_info=img_info, img_prefix=self.img_prefix)
+        if not self.test_mode:
+            results["ann_info"] = self.get_ann_info(idx)
+            if (self.filter_empty_gt
+                    and len(results["ann_info"]["bboxes"]) == 0):
+                return None
+        else:
+            results["ann_info"] = self.get_ann_info(idx)
+        if rng is not None:
+            results["_rng"] = rng
+        return self.pipeline(results)

@@ -1,0 +1,376 @@
+"""Host-side data pipeline (numpy/cv2).
+
+reference: ``mmdet/datasets/pipelines/`` — loading (``loading.py:196-643``),
+geometric transforms incl. offset-aware flip/rotate
+(``transforms.py:458-466, 1836-2094``), formatting (``formating.py``).
+The reference runs these in torch DataLoader worker processes; here they
+run in host threads feeding device_put, producing numpy dicts.
+
+Masks travel as *polygons* (lists of (K, 2) float arrays per instance part)
+until the final pack stage, so geometric ops are exact and cheap.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from ...registry import Registry, build_from_cfg
+
+PIPELINES = Registry("pipeline")
+
+
+def build_pipeline(cfgs):
+    return Compose([build_from_cfg(c, PIPELINES) for c in cfgs])
+
+
+class Compose:
+    def __init__(self, transforms):
+        self.transforms = transforms
+
+    def __call__(self, results):
+        for t in self.transforms:
+            results = t(results)
+            if results is None:
+                return None
+        return results
+
+
+@PIPELINES.register_module()
+class LoadImageFromFile:
+    """reference: ``loading.py:12-78`` (loads BGR uint8)."""
+
+    def __init__(self, to_float32=False):
+        self.to_float32 = to_float32
+
+    def __call__(self, results):
+        import cv2
+        import os.path as osp
+        path = osp.join(results.get("img_prefix", ""),
+                        results["img_info"]["filename"])
+        img = cv2.imread(path, cv2.IMREAD_COLOR)
+        if img is None:
+            raise FileNotFoundError(path)
+        if self.to_float32:
+            img = img.astype(np.float32)
+        results["filename"] = path
+        results["img"] = img
+        results["img_shape"] = img.shape[:2]
+        results["ori_shape"] = img.shape[:2]
+        results["scale_factor"] = 1.0
+        return results
+
+
+@PIPELINES.register_module()
+class LoadAnnotations:
+    """reference: ``loading.py:196-643`` incl. the offset flags
+    (``_load_offsets`` ``:441-453``)."""
+
+    def __init__(self, with_bbox=True, with_label=True, with_mask=False,
+                 with_offset=False, with_building_height=False,
+                 with_angle=False, with_seg=False, **kwargs):
+        self.with_bbox = with_bbox
+        self.with_label = with_label
+        self.with_mask = with_mask
+        self.with_offset = with_offset
+        self.with_building_height = with_building_height
+        self.with_angle = with_angle
+
+    @staticmethod
+    def _polys(segmentation):
+        out = []
+        for part in segmentation:
+            arr = np.asarray(part, np.float32).reshape(-1, 2)
+            if arr.shape[0] >= 3:
+                out.append(arr)
+        return out
+
+    def __call__(self, results):
+        ann = results["ann_info"]
+        if self.with_bbox:
+            results["gt_bboxes"] = np.asarray(
+                ann["bboxes"], np.float32).reshape(-1, 4)
+        if self.with_label:
+            results["gt_labels"] = np.asarray(
+                ann["labels"], np.int64).reshape(-1)
+        if self.with_mask:
+            results["gt_masks"] = [self._polys(m) for m in ann["masks"]]
+        if self.with_offset:
+            results["gt_offsets"] = np.asarray(
+                ann["offsets"], np.float32).reshape(-1, 2)
+        if self.with_building_height:
+            results["gt_building_heights"] = np.asarray(
+                ann.get("building_heights", []), np.float32)
+        if self.with_angle:
+            results["gt_angle"] = np.float32(ann.get("angle", 0.0))
+        return results
+
+
+@PIPELINES.register_module()
+class Resize:
+    """Keep-ratio resize to fit ``img_scale`` (reference
+    ``transforms.py:309-341``).  Instance offsets are deliberately NOT
+    rescaled, matching the reference (tiles are fixed 1024², scale 1)."""
+
+    def __init__(self, img_scale=None, keep_ratio=True):
+        self.img_scale = tuple(img_scale) if img_scale else None
+        self.keep_ratio = keep_ratio
+
+    def __call__(self, results):
+        import cv2
+        h, w = results["img"].shape[:2]
+        target = results.get("scale", self.img_scale)
+        if target is None:
+            return results
+        max_long, max_short = max(target), min(target)
+        if self.keep_ratio:
+            scale = min(max_long / max(h, w), max_short / min(h, w))
+            new_w, new_h = int(w * scale + 0.5), int(h * scale + 0.5)
+        else:
+            new_w, new_h = target
+        if (new_h, new_w) != (h, w):
+            results["img"] = cv2.resize(results["img"], (new_w, new_h),
+                                        interpolation=cv2.INTER_LINEAR)
+        w_scale = new_w / w
+        h_scale = new_h / h
+        results["img_shape"] = (new_h, new_w)
+        results["scale_factor"] = np.array(
+            [w_scale, h_scale, w_scale, h_scale], np.float32)
+        if "gt_bboxes" in results and len(results["gt_bboxes"]):
+            b = results["gt_bboxes"] * results["scale_factor"]
+            b[:, 0::2] = b[:, 0::2].clip(0, new_w)
+            b[:, 1::2] = b[:, 1::2].clip(0, new_h)
+            results["gt_bboxes"] = b
+        if "gt_masks" in results:
+            results["gt_masks"] = [
+                [p * np.array([w_scale, h_scale], np.float32) for p in inst]
+                for inst in results["gt_masks"]]
+        return results
+
+
+@PIPELINES.register_module()
+class RandomFlip:
+    """H/V flip with offset-vector flipping (reference
+    ``transforms.py:430-537`` — ``offset_flip`` negates x for horizontal,
+    y for vertical)."""
+
+    def __init__(self, flip_ratio=0.5, direction="horizontal"):
+        self.flip_ratio = flip_ratio
+        self.direction = direction
+
+    def __call__(self, results):
+        rng = results.setdefault("_rng", np.random.RandomState())
+        if "flip" not in results:
+            # reference RandomFlip only samples when 'flip' is unset, so
+            # MultiScaleFlipAug can pin flip=False at test time
+            flip = rng.rand() < self.flip_ratio
+            directions = (self.direction if isinstance(self.direction, list)
+                          else [self.direction])
+            direction = directions[rng.randint(len(directions))]
+            results["flip"] = bool(flip)
+            results["flip_direction"] = direction if flip else None
+        flip = results["flip"]
+        direction = results.get("flip_direction") or "horizontal"
+        if not flip:
+            return results
+        h, w = results["img_shape"]
+        if direction == "horizontal":
+            results["img"] = results["img"][:, ::-1]
+        else:
+            results["img"] = results["img"][::-1]
+        if "gt_bboxes" in results and len(results["gt_bboxes"]):
+            b = results["gt_bboxes"].copy()
+            if direction == "horizontal":
+                b[:, 0], b[:, 2] = w - results["gt_bboxes"][:, 2], \
+                    w - results["gt_bboxes"][:, 0]
+            else:
+                b[:, 1], b[:, 3] = h - results["gt_bboxes"][:, 3], \
+                    h - results["gt_bboxes"][:, 1]
+            results["gt_bboxes"] = b
+        if "gt_masks" in results:
+            flipped = []
+            for inst in results["gt_masks"]:
+                parts = []
+                for p in inst:
+                    q = p.copy()
+                    if direction == "horizontal":
+                        q[:, 0] = w - q[:, 0]
+                    else:
+                        q[:, 1] = h - q[:, 1]
+                    parts.append(q)
+                flipped.append(parts)
+            results["gt_masks"] = flipped
+        if "gt_offsets" in results and len(results["gt_offsets"]):
+            o = results["gt_offsets"].copy()
+            if direction == "horizontal":
+                o[:, 0] = -o[:, 0]
+            else:
+                o[:, 1] = -o[:, 1]
+            results["gt_offsets"] = o
+        return results
+
+
+@PIPELINES.register_module()
+class RandomRotate:
+    """k*90° rotation of image/boxes/masks/offsets (reference
+    ``transforms.py:1836-2094``; offsets rotate via xy→(len,θ)→θ−a→xy).
+    Restricted to multiples of 90° so boxes stay axis-aligned and exact."""
+
+    def __init__(self, rotate_ratio=0.5, angles=(90, 180, 270)):
+        self.rotate_ratio = rotate_ratio
+        self.angles = list(angles)
+
+    def __call__(self, results):
+        rng = results.setdefault("_rng", np.random.RandomState())
+        if rng.rand() >= self.rotate_ratio:
+            return results
+        angle = self.angles[rng.randint(len(self.angles))]
+        k = (angle // 90) % 4
+        if k == 0:
+            return results
+        h, w = results["img_shape"]
+        results["img"] = np.ascontiguousarray(
+            np.rot90(results["img"], k=k))
+        results["img_shape"] = results["img"].shape[:2]
+
+        # rotate point (x, y) by k*90° counterclockwise about image center
+        def rotate_xy(x, y, hh, ww):
+            for _ in range(k):
+                x, y = y, ww - x
+                hh, ww = ww, hh
+            return x, y
+
+        if "gt_bboxes" in results and len(results["gt_bboxes"]):
+            b = results["gt_bboxes"]
+            x1, y1 = rotate_xy(b[:, 0].copy(), b[:, 1].copy(), h, w)
+            x2, y2 = rotate_xy(b[:, 2].copy(), b[:, 3].copy(), h, w)
+            results["gt_bboxes"] = np.stack(
+                [np.minimum(x1, x2), np.minimum(y1, y2),
+                 np.maximum(x1, x2), np.maximum(y1, y2)], -1)
+        if "gt_masks" in results:
+            out = []
+            for inst in results["gt_masks"]:
+                parts = []
+                for p in inst:
+                    x, y = rotate_xy(p[:, 0].copy(), p[:, 1].copy(), h, w)
+                    parts.append(np.stack([x, y], -1))
+                out.append(parts)
+            results["gt_masks"] = out
+        if "gt_offsets" in results and len(results["gt_offsets"]):
+            o = results["gt_offsets"]
+            a = math.radians(angle)
+            c, s = math.cos(a), math.sin(a)
+            x, y = o[:, 0], o[:, 1]
+            results["gt_offsets"] = np.stack(
+                [x * c + y * s, -x * s + y * c], -1).astype(np.float32)
+        return results
+
+
+@PIPELINES.register_module()
+class Normalize:
+    """reference: ``transforms.py:660-676`` (BGR→RGB then (x-mean)/std)."""
+
+    def __init__(self, mean, std, to_rgb=True):
+        self.mean = np.asarray(mean, np.float32)
+        self.std = np.asarray(std, np.float32)
+        self.to_rgb = to_rgb
+
+    def __call__(self, results):
+        img = results["img"].astype(np.float32)
+        if self.to_rgb:
+            img = img[..., ::-1]
+        results["img"] = (img - self.mean) / self.std
+        results["img_norm_cfg"] = dict(mean=self.mean, std=self.std,
+                                       to_rgb=self.to_rgb)
+        return results
+
+
+@PIPELINES.register_module()
+class Pad:
+    """reference: ``transforms.py:617-631``."""
+
+    def __init__(self, size=None, size_divisor=None, pad_val=0):
+        self.size = size
+        self.size_divisor = size_divisor
+        self.pad_val = pad_val
+
+    def __call__(self, results):
+        img = results["img"]
+        h, w = img.shape[:2]
+        if self.size is not None:
+            th, tw = self.size
+        else:
+            d = self.size_divisor
+            th, tw = -(-h // d) * d, -(-w // d) * d
+        if (th, tw) != (h, w):
+            img = np.pad(img, ((0, th - h), (0, tw - w), (0, 0)),
+                         constant_values=self.pad_val)
+        results["img"] = img
+        results["pad_shape"] = (th, tw)
+        return results
+
+
+@PIPELINES.register_module()
+class DefaultFormatBundle:
+    """No-op marker kept for config parity (tensorisation happens at the
+    pack/collate stage; reference ``formating.py:174-261``)."""
+
+    def __call__(self, results):
+        return results
+
+
+@PIPELINES.register_module()
+class ImageToTensor:
+    def __init__(self, keys=("img",)):
+        self.keys = keys
+
+    def __call__(self, results):
+        return results
+
+
+@PIPELINES.register_module()
+class Collect:
+    """reference: ``formating.py:309-331`` — select keys + meta."""
+
+    DEFAULT_META = ("filename", "ori_shape", "img_shape", "pad_shape",
+                    "scale_factor", "flip", "flip_direction")
+
+    def __init__(self, keys, meta_keys=None):
+        self.keys = list(keys)
+        self.meta_keys = list(meta_keys or self.DEFAULT_META)
+
+    def __call__(self, results):
+        out = {}
+        for k in self.keys:
+            out[k] = results.get(k.replace("img", "img")
+                                 if k != "img" else "img")
+        out["img_metas"] = {m: results.get(m) for m in self.meta_keys}
+        # meta values stay top-level too (the pack stage reads img_shape,
+        # scale_factor, flip directly)
+        for m in self.meta_keys:
+            out.setdefault(m, results.get(m))
+        for k in ("gt_bboxes", "gt_labels", "gt_masks", "gt_offsets"):
+            if k in results and k not in out:
+                out[k] = results[k]
+        out["img"] = results["img"]
+        return out
+
+
+@PIPELINES.register_module()
+class MultiScaleFlipAug:
+    """Single-scale wrapper (reference ``test_time_aug.py:9-119``; BONAI
+    tests with flip=False so this reduces to running the inner pipeline)."""
+
+    def __init__(self, transforms, img_scale=None, flip=False,
+                 flip_direction="horizontal"):
+        self.transforms = build_pipeline(transforms)
+        self.img_scale = img_scale
+        self.flip = flip
+
+    def __call__(self, results):
+        results["scale"] = tuple(self.img_scale) if self.img_scale else None
+        if not self.flip:
+            results["flip"] = False
+            results["flip_direction"] = None
+        return self.transforms(results)

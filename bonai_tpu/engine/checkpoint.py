@@ -1,0 +1,54 @@
+"""Orbax checkpointing (reference: mmcv ``CheckpointHook`` +
+``resume_from``/``load_from`` semantics, ``apis/train.py:139-142``)."""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+
+import jax
+import orbax.checkpoint as ocp
+
+
+def _mgr(work_dir):
+    path = osp.abspath(osp.join(work_dir, "checkpoints"))
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+def save_checkpoint(work_dir, step, state, meta=None):
+    """Save {params, opt_state, batch_stats, step} (+ json-able meta)."""
+    path = osp.join(_mgr(work_dir), f"step_{int(step)}")
+    ckpter = ocp.StandardCheckpointer()
+    payload = {"params": state.params, "opt_state": state.opt_state,
+               "batch_stats": state.batch_stats, "step": state.step}
+    ckpter.save(osp.join(path, "state"), payload, force=True)
+    ckpter.wait_until_finished()
+    if meta is not None:
+        import json
+        with open(osp.join(path, "meta.json"), "w") as f:
+            json.dump(meta, f)
+    return path
+
+
+def latest_checkpoint(work_dir):
+    root = osp.join(work_dir, "checkpoints")
+    if not osp.isdir(root):
+        return None
+    steps = [int(d.split("_")[1]) for d in os.listdir(root)
+             if d.startswith("step_")]
+    if not steps:
+        return None
+    return osp.join(root, f"step_{max(steps)}")
+
+
+def load_checkpoint(path, abstract_state):
+    """Restore into the structure of ``abstract_state`` (a TrainState or a
+    matching pytree of ShapeDtypeStructs / arrays)."""
+    ckpter = ocp.StandardCheckpointer()
+    template = {"params": abstract_state.params,
+                "opt_state": abstract_state.opt_state,
+                "batch_stats": abstract_state.batch_stats,
+                "step": abstract_state.step}
+    restored = ckpter.restore(osp.join(path, "state"), template)
+    return abstract_state.replace(**restored)

@@ -1,0 +1,93 @@
+"""Compiled train / eval steps with data parallelism over a device mesh.
+
+reference parallel semantics: ``MMDistributedDataParallel`` gradient
+all-reduce + per-rank loss normalisation (``mmdet/apis/train.py:75-79``,
+``core/utils/dist_utils.py:10-51``).  TPU-native equivalent: one
+``shard_map`` over ``Mesh(('data',))`` — per-shard losses are normalised
+locally (matching per-GPU DDP semantics) and gradients are ``pmean``-ed
+over ICI; the optimizer update then runs replicated.  No DDP object, no
+bucketing: XLA fuses and overlaps the collectives with the backward pass.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from .train_state import TrainState
+
+
+def make_train_step(model, tx, mesh=None, axis_name="data", donate=True):
+    """Build the compiled train step ``(state, batch, rng) -> (state, metrics)``.
+
+    With a mesh, the step is shard_map'd: batch sharded over ``axis_name``,
+    state replicated, gradients pmean'd.  Without a mesh it is a plain jit
+    (single device).
+    """
+
+    def loss_fn(params, batch_stats, batch, rng):
+        losses = model.apply({"params": params, "batch_stats": batch_stats},
+                             batch, method="forward_train",
+                             rngs={"sampling": rng})
+        total = sum(jnp.asarray(v, jnp.float32) for v in losses.values())
+        return total, losses
+
+    def local_step(state, batch, rng):
+        if mesh is not None:
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
+        rng = jax.random.fold_in(rng, state.step)
+        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, batch, rng)
+        if mesh is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            total = jax.lax.pmean(total, axis_name)
+            losses = jax.lax.pmean(losses, axis_name)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = dict(losses)
+        metrics["loss"] = total
+        metrics["grad_norm"] = optax.global_norm(grads)
+        new_state = state.replace(params=params, opt_state=opt_state,
+                                  step=state.step + 1)
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(local_step, donate_argnums=(0,) if donate else ())
+
+    mapped = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(), P(axis_name), P()),
+        out_specs=(P(), P()),
+        check_rep=False)
+    return jax.jit(mapped, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model, mesh=None, axis_name="data"):
+    """Compiled inference step ``(variables, image, img_shape, scale) ->
+    padded detection dict`` (device part of ``simple_test``)."""
+
+    def local_eval(variables, image, img_shape, scale_factor):
+        return model.apply(variables, image, img_shape, scale_factor,
+                           method="simple_test")
+
+    if mesh is None:
+        return jax.jit(local_eval)
+    mapped = shard_map(local_eval, mesh=mesh,
+                       in_specs=(P(), P(axis_name), P(axis_name),
+                                 P(axis_name)),
+                       out_specs=P(axis_name), check_rep=False)
+    return jax.jit(mapped)
+
+
+def make_mesh(n_devices=None, axis_name="data"):
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    import numpy as np
+    return Mesh(np.array(devices), (axis_name,))

@@ -1,0 +1,180 @@
+"""ResNet backbone (flax.linen, NHWC, bf16-friendly).
+
+reference: ``mmdet/models/backbones/resnet.py:304-664`` with the BONAI
+config (``depth=50, frozen_stages=1, norm_eval=True, style='pytorch'``,
+``configs/_base_/models/bonai_loft_foa_r50_fpn_basic.py:4-13``).
+
+TPU-first notes:
+- NHWC layout with explicit torch-style padding so torchvision weights can
+  be imported bit-compatibly (SAME padding would differ on even sizes).
+- ``norm_eval=True`` in the reference means BatchNorm always runs in eval
+  mode during detection training; we therefore implement BN as a frozen
+  affine transform over stored running statistics (``batch_stats``
+  collection, never updated) — one fused multiply-add that XLA folds into
+  the surrounding convs.
+- ``frozen_stages`` is realised with ``stop_gradient`` at stage outputs
+  (kills all gradients into the frozen prefix) plus an optimizer param
+  mask exposed via :func:`frozen_param_filter`.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+ARCH_SETTINGS = {
+    18: ("basic", (2, 2, 2, 2)),
+    34: ("basic", (3, 4, 6, 3)),
+    50: ("bottleneck", (3, 4, 6, 3)),
+    101: ("bottleneck", (3, 4, 23, 3)),
+    152: ("bottleneck", (3, 8, 36, 3)),
+}
+
+
+class FrozenBatchNorm(nn.Module):
+    """BatchNorm evaluated with running statistics (reference
+    ``norm_eval=True`` semantics).  scale/bias live in ``params`` (they are
+    trainable outside frozen stages); mean/var live in ``batch_stats``."""
+    epsilon: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        mean = self.variable("batch_stats", "mean",
+                             lambda: jnp.zeros(c, jnp.float32)).value
+        var = self.variable("batch_stats", "var",
+                            lambda: jnp.ones(c, jnp.float32)).value
+        inv = scale * jax.lax.rsqrt(var + self.epsilon)
+        w = inv.astype(self.dtype)
+        b = (bias - mean * inv).astype(self.dtype)
+        return x.astype(self.dtype) * w + b
+
+
+def conv(features, kernel, stride=1, pad=None, name=None, dtype=jnp.float32):
+    if pad is None:
+        pad = kernel // 2
+    return nn.Conv(features, (kernel, kernel), strides=(stride, stride),
+                   padding=[(pad, pad), (pad, pad)], use_bias=False,
+                   dtype=dtype, name=name,
+                   kernel_init=nn.initializers.variance_scaling(
+                       2.0, "fan_out", "normal"))
+
+
+class Bottleneck(nn.Module):
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    dtype: Any = jnp.float32
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        identity = x
+        # style='pytorch': stride on the 3x3 conv (reference resnet.py)
+        out = conv(self.planes, 1, 1, 0, "conv1", self.dtype)(x)
+        out = FrozenBatchNorm(dtype=self.dtype, name="bn1")(out)
+        out = nn.relu(out)
+        out = conv(self.planes, 3, self.stride, 1, "conv2", self.dtype)(out)
+        out = FrozenBatchNorm(dtype=self.dtype, name="bn2")(out)
+        out = nn.relu(out)
+        out = conv(self.planes * self.expansion, 1, 1, 0, "conv3",
+                   self.dtype)(out)
+        out = FrozenBatchNorm(dtype=self.dtype, name="bn3")(out)
+        if self.downsample:
+            identity = conv(self.planes * self.expansion, 1, self.stride, 0,
+                            "ds_conv", self.dtype)(x)
+            identity = FrozenBatchNorm(dtype=self.dtype, name="ds_bn")(identity)
+        return nn.relu(out + identity)
+
+
+class BasicBlock(nn.Module):
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    dtype: Any = jnp.float32
+    expansion: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        identity = x
+        out = conv(self.planes, 3, self.stride, 1, "conv1", self.dtype)(x)
+        out = FrozenBatchNorm(dtype=self.dtype, name="bn1")(out)
+        out = nn.relu(out)
+        out = conv(self.planes, 3, 1, 1, "conv2", self.dtype)(out)
+        out = FrozenBatchNorm(dtype=self.dtype, name="bn2")(out)
+        if self.downsample:
+            identity = conv(self.planes, 1, self.stride, 0, "ds_conv",
+                            self.dtype)(x)
+            identity = FrozenBatchNorm(dtype=self.dtype, name="ds_bn")(identity)
+        return nn.relu(out + identity)
+
+
+class ResNet(nn.Module):
+    """reference config surface: ``mmdet/models/backbones/resnet.py:525-648``."""
+    depth: int = 50
+    num_stages: int = 4
+    out_indices: Sequence[int] = (0, 1, 2, 3)
+    frozen_stages: int = 1
+    norm_eval: bool = True      # kept for config parity; BN is always frozen
+    style: str = "pytorch"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        block_name, stage_blocks = ARCH_SETTINGS[self.depth]
+        block_cls = Bottleneck if block_name == "bottleneck" else BasicBlock
+        x = x.astype(self.dtype)
+        x = conv(64, 7, 2, 3, "conv1", self.dtype)(x)
+        x = FrozenBatchNorm(dtype=self.dtype, name="bn1")(x)
+        x = nn.relu(x)
+        # torch MaxPool2d(3, 2, padding=1)
+        x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                    constant_values=-jnp.inf)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2))
+        if self.frozen_stages >= 0:
+            x = jax.lax.stop_gradient(x)
+
+        outs = []
+        planes = 64
+        for stage in range(self.num_stages):
+            num_blocks = stage_blocks[stage]
+            stride = 1 if stage == 0 else 2
+            for b in range(num_blocks):
+                x = block_cls(planes=planes,
+                              stride=stride if b == 0 else 1,
+                              downsample=(b == 0),
+                              dtype=self.dtype,
+                              name=f"layer{stage + 1}_{b}")(x)
+            if self.frozen_stages >= stage + 1:
+                x = jax.lax.stop_gradient(x)
+            if stage in self.out_indices:
+                outs.append(x)
+            planes *= 2
+        return tuple(outs)
+
+
+def frozen_param_filter(frozen_stages):
+    """Return ``f(path_tuple) -> bool`` marking params frozen by config.
+
+    Matches reference ``_freeze_stages`` (stem + layers 1..frozen_stages,
+    ``resnet.py:604-621``): those params get no updates and no weight decay.
+    """
+    prefixes = []
+    if frozen_stages >= 0:
+        prefixes += ["conv1", "bn1"]
+    for s in range(1, frozen_stages + 1):
+        prefixes.append(f"layer{s}_")
+
+    def is_frozen(path):
+        names = [str(p) for p in path]
+        if "backbone" not in " ".join(names):
+            return False
+        return any(any(n.startswith(pref) for n in names)
+                   for pref in prefixes)
+    return is_frozen

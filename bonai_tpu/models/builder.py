@@ -1,0 +1,47 @@
+"""Detector builder (reference: ``mmdet/models/builder.py:4-67``).
+
+``build_detector(cfg, train_cfg, test_cfg)`` resolves ``cfg['type']``
+against the DETECTORS registry and instantiates the flax module with the
+raw config dicts (submodules are constructed inside ``setup``).
+"""
+
+from __future__ import annotations
+
+import copy
+
+from ..registry import Registry
+
+DETECTORS = Registry("detector")
+
+
+def _plain(obj):
+    """ConfigDict -> plain dict, recursively."""
+    if isinstance(obj, dict):
+        return {k: _plain(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_plain(v) for v in obj]
+    return obj
+
+
+def build_detector(cfg, train_cfg=None, test_cfg=None, compute_dtype=None):
+    from .detectors import FasterRCNN, MaskRCNN, LOFT, TwoStageDetector
+    registry = {"FasterRCNN": FasterRCNN, "MaskRCNN": MaskRCNN,
+                "LOFT": LOFT, "TwoStageDetector": TwoStageDetector}
+    registry.update(DETECTORS.module_dict)
+    cfg = _plain(dict(cfg))
+    det_type = cfg.pop("type")
+    if det_type not in registry:
+        raise KeyError(f"unknown detector type {det_type}; "
+                       f"available: {sorted(registry)}")
+    kwargs = dict(
+        backbone=cfg.get("backbone"),
+        neck=cfg.get("neck"),
+        rpn_head=cfg.get("rpn_head"),
+        roi_head=cfg.get("roi_head"),
+        train_cfg=_plain(dict(train_cfg)) if train_cfg else None,
+        test_cfg=_plain(dict(test_cfg)) if test_cfg else None,
+        pretrained=cfg.get("pretrained"),
+    )
+    if compute_dtype is not None:
+        kwargs["compute_dtype"] = compute_dtype
+    return registry[det_type](**kwargs)

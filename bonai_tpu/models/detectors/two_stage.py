@@ -1,0 +1,383 @@
+"""Two-stage detector (Faster/Mask R-CNN trunk) as a single jittable module.
+
+reference: ``mmdet/models/detectors/two_stage.py:17-211``,
+``mmdet/models/roi_heads/standard_roi_head.py:10-290``,
+``mmdet/models/roi_heads/bbox_heads/bbox_head.py:141-225``,
+``mmdet/models/roi_heads/mask_heads/fcn_mask_head.py:128-150``.
+
+The reference's runner/hook machinery and per-image python loops collapse
+into two pure methods — ``forward_train`` (the whole loss graph) and
+``simple_test`` — built from batched masked ops with static shapes, so the
+entire step compiles to one XLA program.  Batch layout contract (produced by
+the data pipeline):
+
+  image       (B, H, W, 3)   normalised, padded
+  img_shape   (B, 2)         resized (pre-pad) h, w — used for clipping
+  gt_bboxes   (B, G, 4)      padded with zeros
+  gt_labels   (B, G) int32
+  gt_valid    (B, G) bool
+  gt_masks    (B, G, M, M)   instance-local (cropped-to-box) masks
+  gt_offsets  (B, G, 2)      roof→footprint vectors (LOFT)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...core.anchors import AnchorGenerator
+from ...core.assigners import max_iou_assign
+from ...core.boxes import delta2bbox, clip_boxes
+from ...core.masks import mask_targets_from_instance_masks
+from ...core.nms import multiclass_nms
+from ...core.samplers import random_sample
+from ...ops.roi_align import multilevel_roi_align
+from ..backbones.resnet import ResNet
+from ..dense_heads.rpn_head import (RPNHead, rpn_loss, rpn_proposals_single)
+from ..losses import (binary_cross_entropy, cross_entropy, l1_loss,
+                      smooth_l1_loss, build_loss)
+from ..necks.fpn import FPN
+from ..roi_heads.bbox_head import Shared2FCBBoxHead, bbox_targets_single
+from ..roi_heads.mask_head import FCNMaskHead
+
+
+def _dtype(name):
+    return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[name]
+
+
+def assign_and_sample_rcnn(rng, proposals, proposal_valid, gt_bboxes,
+                           gt_valid, assigner_cfg, sampler_cfg):
+    """Single-image second-stage assign+sample with ``add_gt_as_proposals``.
+
+    reference: ``standard_roi_head.py:70-104`` +
+    ``base_sampler.py`` sample() — gt boxes join the candidate pool (their
+    self-IoU of 1.0 makes them positives).
+    Returns the sample dict plus the sampled candidate boxes ``(num, 4)``.
+    """
+    cand = jnp.concatenate([gt_bboxes, proposals], axis=0)
+    cand_valid = jnp.concatenate([gt_valid, proposal_valid], axis=0)
+    assigned, _ = max_iou_assign(
+        cand, gt_bboxes, gt_valid,
+        pos_iou_thr=assigner_cfg.get("pos_iou_thr", 0.5),
+        neg_iou_thr=assigner_cfg.get("neg_iou_thr", 0.5),
+        min_pos_iou=assigner_cfg.get("min_pos_iou", 0.5),
+        match_low_quality=assigner_cfg.get("match_low_quality", True),
+        box_valid=cand_valid)
+    res = random_sample(rng, assigned,
+                        num=sampler_cfg.get("num", 512),
+                        pos_fraction=sampler_cfg.get("pos_fraction", 0.25),
+                        neg_pos_ub=sampler_cfg.get("neg_pos_ub", -1))
+    sampled_boxes = cand[res["inds"]]
+    return res, sampled_boxes
+
+
+def boxes_to_rois(boxes, valid=None):
+    """(B, N, 4) -> (B*N, 5) with leading batch index."""
+    b, n = boxes.shape[:2]
+    idx = jnp.repeat(jnp.arange(b, dtype=boxes.dtype), n)[:, None]
+    rois = jnp.concatenate([idx, boxes.reshape(b * n, 4)], axis=1)
+    if valid is None:
+        return rois
+    return rois, valid.reshape(b * n)
+
+
+class TwoStageDetector(nn.Module):
+    """Config-driven Faster/Mask R-CNN.  Subclasses add extra branches."""
+    backbone: Any = None
+    neck: Any = None
+    rpn_head: Any = None
+    roi_head: Any = None
+    train_cfg: Any = None
+    test_cfg: Any = None
+    pretrained: Optional[str] = None
+    compute_dtype: str = "float32"
+
+    # ---------------- module construction ----------------
+    def setup(self):
+        dt = _dtype(self.compute_dtype)
+        bk = dict(self.backbone)
+        assert bk.pop("type", "ResNet") == "ResNet", "only ResNet backbones yet"
+        self.backbone_m = ResNet(
+            depth=bk.get("depth", 50),
+            num_stages=bk.get("num_stages", 4),
+            out_indices=tuple(bk.get("out_indices", (0, 1, 2, 3))),
+            frozen_stages=bk.get("frozen_stages", -1),
+            norm_eval=bk.get("norm_eval", True),
+            style=bk.get("style", "pytorch"),
+            dtype=dt, name="backbone")
+        nk = dict(self.neck)
+        assert nk.pop("type", "FPN") == "FPN"
+        self.neck_m = FPN(
+            in_channels=tuple(nk.get("in_channels", (256, 512, 1024, 2048))),
+            out_channels=nk.get("out_channels", 256),
+            num_outs=nk.get("num_outs", 5),
+            add_extra_convs=bool(nk.get("add_extra_convs", False)),
+            dtype=dt, name="neck")
+        rh = dict(self.rpn_head)
+        ag_cfg = dict(rh.get("anchor_generator", {}))
+        ag_cfg.pop("type", None)
+        self.anchor_generator = AnchorGenerator(**ag_cfg)
+        self.rpn_head_m = RPNHead(
+            in_channels=rh.get("in_channels", 256),
+            feat_channels=rh.get("feat_channels", 256),
+            num_anchors=len(ag_cfg.get("ratios", [0.5, 1.0, 2.0]))
+            * len(ag_cfg.get("scales", [8])),
+            dtype=dt, name="rpn_head")
+        self.rpn_bbox_coder = rh.get("bbox_coder", {})
+        self._setup_roi_head(dt)
+
+    def _setup_roi_head(self, dt):
+        cfg = dict(self.roi_head)
+        bh = dict(cfg["bbox_head"])
+        self.bbox_head_m = Shared2FCBBoxHead(
+            num_classes=bh.get("num_classes", 1),
+            in_channels=bh.get("in_channels", 256),
+            fc_out_channels=bh.get("fc_out_channels", 1024),
+            roi_feat_size=bh.get("roi_feat_size", 7),
+            reg_class_agnostic=bh.get("reg_class_agnostic", False),
+            dtype=dt, name="bbox_head")
+        self.bbox_coder_cfg = bh.get(
+            "bbox_coder", dict(target_means=[0.] * 4, target_stds=[1.] * 4))
+        self.bbox_extractor_cfg = dict(cfg["bbox_roi_extractor"])
+        if cfg.get("mask_head") is not None:
+            mh = dict(cfg["mask_head"])
+            self.mask_head_m = FCNMaskHead(
+                num_convs=mh.get("num_convs", 4),
+                in_channels=mh.get("in_channels", 256),
+                conv_out_channels=mh.get("conv_out_channels", 256),
+                num_classes=mh.get("num_classes", 1),
+                dtype=dt, name="mask_head")
+            self.mask_extractor_cfg = dict(cfg["mask_roi_extractor"])
+        else:
+            self.mask_head_m = None
+
+    # ---------------- shared helpers ----------------
+    @property
+    def with_mask(self):
+        return self.mask_head_m is not None
+
+    def extract_feat(self, img):
+        return self.neck_m(self.backbone_m(img))
+
+    def _roi_align_cfg(self, extractor_cfg, feats, rois, roi_valid):
+        layer = dict(extractor_cfg.get("roi_layer", {}))
+        out_size = layer.get("output_size", 7)
+        sr = layer.get("sampling_ratio", 0) or 2   # static grid on TPU
+        strides = list(extractor_cfg.get("featmap_strides", [4, 8, 16, 32]))
+        return multilevel_roi_align(
+            feats[:len(strides)], rois, out_size, strides,
+            sampling_ratio=sr, roi_valid=roi_valid,
+            finest_scale=extractor_cfg.get("finest_scale", 56))
+
+    def _rpn_and_proposals(self, feats, img_shape, proposal_cfg):
+        cls_scores, bbox_preds = self.rpn_head_m(feats)
+        sizes = [(int(f.shape[1]), int(f.shape[2])) for f in feats]
+        anchors_levels = [jnp.asarray(a) for a in
+                          self.anchor_generator.grid_anchors(sizes)]
+        props, scores, valid = jax.vmap(
+            lambda cs, bp, ishape: rpn_proposals_single(
+                cs, bp, anchors_levels, ishape, proposal_cfg)
+        )([s for s in cls_scores], [b for b in bbox_preds], img_shape)
+        return cls_scores, bbox_preds, anchors_levels, props, scores, valid
+
+    # ---------------- init path ----------------
+    def __call__(self, img):
+        """forward_dummy: touches every parameterised submodule once so
+        ``init`` creates the full tree (reference ``two_stage.py:87-103``)."""
+        feats = self.extract_feat(img)
+        outs = self.rpn_head_m(feats)
+        rois = jnp.tile(jnp.asarray([[0., 0., 0., 32., 32.]]), (4, 1))
+        strides = list(self.bbox_extractor_cfg.get(
+            "featmap_strides", [4, 8, 16, 32]))
+        bf = self._roi_align_cfg(self.bbox_extractor_cfg, feats, rois, None)
+        extra = [self.bbox_head_m(bf)]
+        if self.with_mask:
+            mf = self._roi_align_cfg(self.mask_extractor_cfg, feats, rois,
+                                     None)
+            extra.append(self.mask_head_m(mf))
+        extra += self._dummy_extra_heads(feats, rois)
+        return outs, extra
+
+    def _dummy_extra_heads(self, feats, rois):
+        return []
+
+    # ---------------- training ----------------
+    def forward_train(self, batch):
+        img = batch["image"]
+        img_shape = batch["img_shape"]
+        gt_bboxes = batch["gt_bboxes"]
+        gt_valid = batch["gt_valid"]
+        rng = self.make_rng("sampling")
+        rng_rpn, rng_rcnn = jax.random.split(rng)
+
+        feats = self.extract_feat(img)
+        proposal_cfg = dict(self.train_cfg.get("rpn_proposal", {}))
+        (cls_scores, bbox_preds, anchors_levels, proposals, _,
+         prop_valid) = self._rpn_and_proposals(feats, img_shape, proposal_cfg)
+
+        anchors_flat = jnp.concatenate(anchors_levels, axis=0)
+        losses = rpn_loss(cls_scores, bbox_preds, anchors_flat, gt_bboxes,
+                          gt_valid, rng_rpn, dict(self.train_cfg["rpn"]))
+
+        proposals = jax.lax.stop_gradient(proposals)
+        losses.update(self._roi_forward_train(
+            feats, proposals, prop_valid, batch, rng_rcnn))
+        return losses
+
+    def _roi_forward_train(self, feats, proposals, prop_valid, batch, rng):
+        gt_bboxes = batch["gt_bboxes"]
+        gt_valid = batch["gt_valid"]
+        gt_labels = batch["gt_labels"]
+        b = gt_bboxes.shape[0]
+        rcnn = dict(self.train_cfg["rcnn"])
+        sampler_cfg = dict(rcnn["sampler"])
+        num = sampler_cfg.get("num", 512)
+        num_pos = int(num * sampler_cfg.get("pos_fraction", 0.25))
+
+        rngs = jax.random.split(rng, b)
+        res, sampled_boxes = jax.vmap(
+            lambda r, p, pv, gb, gv: assign_and_sample_rcnn(
+                r, p, pv, gb, gv, dict(rcnn["assigner"]), sampler_cfg)
+        )(rngs, proposals, prop_valid, gt_bboxes, gt_valid)
+        # res fields: (B, num); sampled_boxes: (B, num, 4)
+
+        coder = dict(self.bbox_coder_cfg)
+        labels, label_w, bbox_t, bbox_w = jax.vmap(
+            lambda sb, ip, v, pg, gb, gl: bbox_targets_single(
+                sb, {"is_pos": ip, "valid": v, "pos_gt_inds": pg}, gb, gl,
+                self.bbox_head_m.num_classes,
+                tuple(coder.get("target_means", (0.,) * 4)),
+                tuple(coder.get("target_stds", (1.,) * 4)))
+        )(sampled_boxes, res["is_pos"], res["valid"], res["pos_gt_inds"],
+          gt_bboxes, gt_labels)
+
+        rois, roi_valid = boxes_to_rois(sampled_boxes, res["valid"])
+        bbox_feats = self._roi_align_cfg(self.bbox_extractor_cfg, feats,
+                                         rois, roi_valid)
+        cls_score, bbox_pred = self.bbox_head_m(bbox_feats)
+
+        n_tot = b * num
+        labels_f = labels.reshape(n_tot)
+        label_w_f = label_w.reshape(n_tot)
+        avg_cls = jnp.maximum(jnp.sum(label_w_f > 0), 1.0)
+        loss_cls = cross_entropy(cls_score, labels_f, label_w_f,
+                                 avg_factor=avg_cls)
+        # reg: select the gt-class slice when not class-agnostic
+        nc = self.bbox_head_m.num_classes
+        if self.bbox_head_m.reg_class_agnostic or nc == 1:
+            pred4 = bbox_pred.reshape(n_tot, -1)[:, :4]
+        else:
+            pred = bbox_pred.reshape(n_tot, nc, 4)
+            pred4 = jnp.take_along_axis(
+                pred, jnp.clip(labels_f, 0, nc - 1)[:, None, None], axis=1
+            )[:, 0]
+        loss_bbox = l1_loss(pred4, bbox_t.reshape(n_tot, 4),
+                            bbox_w.reshape(n_tot, 4), avg_factor=float(n_tot))
+        losses = {"loss_cls": loss_cls, "loss_bbox": loss_bbox}
+
+        # ---- mask branch on the positive slots (sampler ranks pos first)
+        pos_slots = slice(0, num_pos)
+        pos_boxes = sampled_boxes[:, pos_slots]              # (B, P, 4)
+        pos_is_pos = res["is_pos"][:, pos_slots]
+        pos_gt = res["pos_gt_inds"][:, pos_slots]
+        losses.update(self._mask_forward_train(
+            feats, batch, rcnn, pos_boxes, pos_is_pos, pos_gt))
+        losses.update(self._extra_forward_train(
+            feats, batch, rcnn, pos_boxes, pos_is_pos, pos_gt))
+        return losses
+
+    def _mask_forward_train(self, feats, batch, rcnn, pos_boxes, pos_is_pos,
+                            pos_gt):
+        if not self.with_mask:
+            return {}
+        b, p = pos_boxes.shape[:2]
+        gt_bboxes = batch["gt_bboxes"]
+        gt_masks = batch["gt_masks"]
+        mask_size = rcnn.get("mask_size", 28)
+        rois, roi_valid = boxes_to_rois(pos_boxes, pos_is_pos)
+        mask_feats = self._roi_align_cfg(self.mask_extractor_cfg, feats,
+                                         rois, roi_valid)
+        mask_logits = self.mask_head_m(mask_feats)           # (BP, 2S, 2S, C)
+
+        bidx = jnp.arange(b)[:, None]
+        matched_boxes = gt_bboxes[bidx, pos_gt].reshape(b * p, 4)
+        matched_masks = gt_masks[bidx, pos_gt].reshape(
+            b * p, *gt_masks.shape[-2:])
+        targets = mask_targets_from_instance_masks(
+            rois[:, 1:5], matched_boxes, matched_masks, mask_size)
+        # single fg class -> channel 0; labels are always 0 for positives
+        logits = mask_logits[..., 0]
+        w = roi_valid.astype(jnp.float32)[:, None, None]
+        loss_mask = binary_cross_entropy(
+            logits, targets, jnp.broadcast_to(w, logits.shape),
+            avg_factor=jnp.maximum(jnp.sum(w) * mask_size * mask_size, 1.0))
+        return {"loss_mask": loss_mask}
+
+    def _extra_forward_train(self, feats, batch, rcnn, pos_boxes, pos_is_pos,
+                             pos_gt):
+        return {}
+
+    # ---------------- inference ----------------
+    def simple_test(self, img, img_shape, scale_factor):
+        """Batched inference.  Returns padded, fixed-shape results.
+
+        reference flow: ``two_stage.py:187-199`` → ``test_mixins.py:53-72``
+        (bbox decode + soft-NMS) → mask/offset heads on detections.
+        """
+        feats = self.extract_feat(img)
+        test_rpn = dict(self.test_cfg.get("rpn", {}))
+        (_, _, _, proposals, prop_scores,
+         prop_valid) = self._rpn_and_proposals(feats, img_shape, test_rpn)
+
+        rcnn = dict(self.test_cfg["rcnn"])
+        b, n = proposals.shape[:2]
+        rois, roi_valid = boxes_to_rois(proposals, prop_valid)
+        bbox_feats = self._roi_align_cfg(self.bbox_extractor_cfg, feats,
+                                         rois, roi_valid)
+        cls_score, bbox_pred = self.bbox_head_m(bbox_feats)
+        scores = jax.nn.softmax(cls_score, axis=-1).reshape(b, n, -1)
+        coder = dict(self.bbox_coder_cfg)
+        boxes_dec = jax.vmap(lambda r, d, s: delta2bbox(
+            r, d, tuple(coder.get("target_means", (0.,) * 4)),
+            tuple(coder.get("target_stds", (1.,) * 4))))(
+            proposals, bbox_pred.reshape(b, n, -1), img_shape)
+        boxes_dec = jax.vmap(clip_boxes)(boxes_dec, img_shape)
+
+        max_per_img = rcnn.get("max_per_img", 100)
+        nms_cfg = dict(rcnn.get("nms", dict(type="nms", iou_threshold=0.5)))
+        det_boxes, det_scores, det_labels, det_valid = jax.vmap(
+            lambda bx, sc, v: multiclass_nms(
+                bx, sc, rcnn.get("score_thr", 0.05), nms_cfg, max_per_img,
+                valid=v))(boxes_dec, scores, prop_valid)
+
+        out = {"det_bboxes": det_boxes / jnp.asarray(scale_factor)[:, None, None],
+               "det_scores": det_scores, "det_labels": det_labels,
+               "det_valid": det_valid}
+        # scale-space boxes feed the mask/offset branches (reference
+        # test_mixins: _bboxes = det_bboxes * scale_factor)
+        if self.with_mask:
+            rois, roi_valid = boxes_to_rois(det_boxes, det_valid)
+            mask_feats = self._roi_align_cfg(self.mask_extractor_cfg, feats,
+                                             rois, roi_valid)
+            mask_logits = self.mask_head_m(mask_feats)
+            probs = jax.nn.sigmoid(mask_logits[..., 0])
+            out["mask_probs"] = probs.reshape(
+                b, -1, *mask_logits.shape[1:3])
+        out.update(self._extra_simple_test(feats, det_boxes, det_valid,
+                                           img_shape))
+        return out
+
+    def _extra_simple_test(self, feats, det_boxes, det_valid, img_shape):
+        return {}
+
+
+class FasterRCNN(TwoStageDetector):
+    """reference: ``mmdet/models/detectors/faster_rcnn.py``."""
+
+
+class MaskRCNN(TwoStageDetector):
+    """reference: ``mmdet/models/detectors/mask_rcnn.py``."""

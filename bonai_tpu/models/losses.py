@@ -1,0 +1,166 @@
+"""Loss functions (weighted / masked, static-shape).
+
+reference: ``mmdet/models/losses/`` — ``cross_entropy_loss.py:129-200``,
+``smooth_l1_loss.py:46-130``, ``mse_loss.py:15-35``, ``focal_loss.py``,
+``losses/utils.py`` (``weight_reduce_loss``).  Padded samples are handled
+with per-element weights and an explicit ``avg_factor``, replacing the
+reference's dynamic-shape tensors.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..registry import Registry, build_from_cfg
+
+LOSSES = Registry("loss")
+
+
+def build_loss(cfg, **default_args):
+    return build_from_cfg(cfg, LOSSES, default_args)
+
+
+def weight_reduce_loss(loss, weight=None, reduction="mean", avg_factor=None):
+    """reference: ``mmdet/models/losses/utils.py``."""
+    if weight is not None:
+        loss = loss * weight
+    if reduction == "none":
+        return loss
+    if reduction == "sum":
+        return jnp.sum(loss)
+    # mean
+    if avg_factor is None:
+        if weight is None:
+            return jnp.mean(loss)
+        return jnp.sum(loss) / jnp.maximum(jnp.sum(weight), 1e-6)
+    return jnp.sum(loss) / jnp.maximum(avg_factor, 1e-6)
+
+
+def cross_entropy(logits, labels, weight=None, reduction="mean",
+                  avg_factor=None):
+    """Softmax CE with integer labels (padded labels must carry weight 0)."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    labels = jnp.clip(labels, 0, logits.shape[-1] - 1)
+    loss = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    return weight_reduce_loss(loss, weight, reduction, avg_factor)
+
+
+def binary_cross_entropy(logits, labels, weight=None, reduction="mean",
+                         avg_factor=None):
+    """Sigmoid BCE; ``labels`` same shape as ``logits`` (float or 0/1)."""
+    labels = labels.astype(logits.dtype)
+    loss = (jnp.clip(logits, 0, None) - logits * labels
+            + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+    return weight_reduce_loss(loss, weight, reduction, avg_factor)
+
+
+def l1_loss(pred, target, weight=None, reduction="mean", avg_factor=None):
+    loss = jnp.abs(pred - target)
+    return weight_reduce_loss(loss, weight, reduction, avg_factor)
+
+
+def smooth_l1_loss(pred, target, beta=1.0, weight=None, reduction="mean",
+                   avg_factor=None):
+    diff = jnp.abs(pred - target)
+    loss = jnp.where(diff < beta, 0.5 * diff * diff / beta,
+                     diff - 0.5 * beta)
+    return weight_reduce_loss(loss, weight, reduction, avg_factor)
+
+
+def mse_loss(pred, target, weight=None, reduction="mean", avg_factor=None):
+    loss = (pred - target) ** 2
+    return weight_reduce_loss(loss, weight, reduction, avg_factor)
+
+
+def sigmoid_focal_loss(logits, labels, gamma=2.0, alpha=0.25, weight=None,
+                       reduction="mean", avg_factor=None):
+    """Elementwise focal loss; ``labels`` one-hot-like float of same shape.
+
+    reference: mmcv CUDA ``SigmoidFocalLoss`` — pure-JAX elementwise here.
+    """
+    p = jax.nn.sigmoid(logits)
+    labels = labels.astype(logits.dtype)
+    ce = (jnp.clip(logits, 0, None) - logits * labels
+          + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+    p_t = p * labels + (1 - p) * (1 - labels)
+    alpha_t = alpha * labels + (1 - alpha) * (1 - labels)
+    loss = alpha_t * ((1 - p_t) ** gamma) * ce
+    return weight_reduce_loss(loss, weight, reduction, avg_factor)
+
+
+@LOSSES.register_module()
+class CrossEntropyLoss:
+    """reference: ``mmdet/models/losses/cross_entropy_loss.py:129-200``."""
+
+    def __init__(self, use_sigmoid=False, use_mask=False, reduction="mean",
+                 loss_weight=1.0):
+        self.use_sigmoid = use_sigmoid
+        self.use_mask = use_mask
+        self.reduction = reduction
+        self.loss_weight = loss_weight
+
+    def __call__(self, pred, target, weight=None, avg_factor=None):
+        if self.use_mask:
+            # pred (P, S, S) logits for the matched class channel;
+            # target (P, S, S); weight (P,) per-instance validity
+            w = None if weight is None else weight[:, None, None]
+            loss = binary_cross_entropy(pred, target, w, self.reduction,
+                                        avg_factor)
+        elif self.use_sigmoid:
+            loss = binary_cross_entropy(pred, target, weight, self.reduction,
+                                        avg_factor)
+        else:
+            loss = cross_entropy(pred, target, weight, self.reduction,
+                                 avg_factor)
+        return self.loss_weight * loss
+
+
+@LOSSES.register_module()
+class SmoothL1Loss:
+    def __init__(self, beta=1.0, reduction="mean", loss_weight=1.0):
+        self.beta = beta
+        self.reduction = reduction
+        self.loss_weight = loss_weight
+
+    def __call__(self, pred, target, weight=None, avg_factor=None):
+        return self.loss_weight * smooth_l1_loss(
+            pred, target, self.beta, weight, self.reduction, avg_factor)
+
+
+@LOSSES.register_module()
+class L1Loss:
+    def __init__(self, reduction="mean", loss_weight=1.0):
+        self.reduction = reduction
+        self.loss_weight = loss_weight
+
+    def __call__(self, pred, target, weight=None, avg_factor=None):
+        return self.loss_weight * l1_loss(pred, target, weight,
+                                          self.reduction, avg_factor)
+
+
+@LOSSES.register_module()
+class MSELoss:
+    def __init__(self, reduction="mean", loss_weight=1.0):
+        self.reduction = reduction
+        self.loss_weight = loss_weight
+
+    def __call__(self, pred, target, weight=None, avg_factor=None):
+        return self.loss_weight * mse_loss(pred, target, weight,
+                                           self.reduction, avg_factor)
+
+
+@LOSSES.register_module()
+class FocalLoss:
+    def __init__(self, use_sigmoid=True, gamma=2.0, alpha=0.25,
+                 reduction="mean", loss_weight=1.0):
+        assert use_sigmoid
+        self.gamma = gamma
+        self.alpha = alpha
+        self.reduction = reduction
+        self.loss_weight = loss_weight
+
+    def __call__(self, pred, target, weight=None, avg_factor=None):
+        return self.loss_weight * sigmoid_focal_loss(
+            pred, target, self.gamma, self.alpha, weight, self.reduction,
+            avg_factor)

@@ -1,0 +1,69 @@
+"""Feature Pyramid Network neck.
+
+reference: ``mmdet/models/necks/fpn.py:10-216`` — lateral 1x1 convs,
+top-down nearest-neighbour upsample, 3x3 output convs, and (BONAI config:
+``num_outs=5`` with 4 inputs, ``add_extra_convs=False``) one extra level
+from stride-2 max-pooling of the last output.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+def _upsample_nearest_2x(x):
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, h * 2, w * 2, c)
+
+
+class FPN(nn.Module):
+    in_channels: Sequence[int] = (256, 512, 1024, 2048)
+    out_channels: int = 256
+    num_outs: int = 5
+    start_level: int = 0
+    end_level: int = -1
+    add_extra_convs: bool = False
+    relu_before_extra_convs: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, inputs):
+        assert len(inputs) == len(self.in_channels)
+        used = len(self.in_channels) - self.start_level
+        xavier = nn.initializers.xavier_uniform()
+
+        laterals = [
+            nn.Conv(self.out_channels, (1, 1), use_bias=True,
+                    dtype=self.dtype, kernel_init=xavier,
+                    name=f"lateral_{i}")(inputs[self.start_level + i])
+            for i in range(used)
+        ]
+        for i in range(used - 1, 0, -1):
+            laterals[i - 1] = laterals[i - 1] + _upsample_nearest_2x(laterals[i])
+        outs = [
+            nn.Conv(self.out_channels, (3, 3), padding=[(1, 1), (1, 1)],
+                    use_bias=True, dtype=self.dtype, kernel_init=xavier,
+                    name=f"fpn_{i}")(laterals[i])
+            for i in range(used)
+        ]
+        if self.num_outs > used:
+            if not self.add_extra_convs:
+                for _ in range(self.num_outs - used):
+                    # torch F.max_pool2d(x, 1, stride=2)
+                    outs.append(outs[-1][:, ::2, ::2, :])
+            else:
+                extra_src = inputs[-1]
+                for i in range(self.num_outs - used):
+                    src = extra_src if i == 0 else outs[-1]
+                    if i > 0 and self.relu_before_extra_convs:
+                        src = nn.relu(src)
+                    outs.append(
+                        nn.Conv(self.out_channels, (3, 3), strides=(2, 2),
+                                padding=[(1, 1), (1, 1)], use_bias=True,
+                                dtype=self.dtype, kernel_init=xavier,
+                                name=f"extra_{i}")(src))
+        return tuple(outs)

@@ -1,0 +1,71 @@
+"""Box head (Shared2FCBBoxHead) + static-shape target generation.
+
+reference: ``mmdet/models/roi_heads/bbox_heads/bbox_head.py:84-334`` and
+``convfc_bbox_head.py:177-191``.  v2.3 label convention: foreground labels
+are 0..C-1, background label == C (the *last* softmax channel).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ...core.boxes import bbox2delta
+
+
+class Shared2FCBBoxHead(nn.Module):
+    num_classes: int = 1
+    in_channels: int = 256
+    fc_out_channels: int = 1024
+    roi_feat_size: int = 7
+    reg_class_agnostic: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        """x: (N, S, S, C) RoI features -> (cls_score (N, C+1), bbox_pred)."""
+        n = x.shape[0]
+        x = x.reshape(n, -1)
+        xavier = nn.initializers.xavier_uniform()
+        x = nn.relu(nn.Dense(self.fc_out_channels, dtype=self.dtype,
+                             kernel_init=xavier, name="shared_fc1")(x))
+        x = nn.relu(nn.Dense(self.fc_out_channels, dtype=self.dtype,
+                             kernel_init=xavier, name="shared_fc2")(x))
+        cls_score = nn.Dense(self.num_classes + 1, dtype=self.dtype,
+                             kernel_init=nn.initializers.normal(0.01),
+                             name="fc_cls")(x)
+        reg_dim = 4 if self.reg_class_agnostic else 4 * self.num_classes
+        bbox_pred = nn.Dense(reg_dim, dtype=self.dtype,
+                             kernel_init=nn.initializers.normal(0.001),
+                             name="fc_reg")(x)
+        return cls_score.astype(jnp.float32), bbox_pred.astype(jnp.float32)
+
+
+def bbox_targets_single(sampled_boxes, sample_res, gt_bboxes, gt_labels,
+                        num_classes, target_means, target_stds):
+    """Targets for one image's fixed-size sample (vmap over batch).
+
+    reference: ``bbox_head.py:84-139`` (``_get_target_single``).
+
+    Args:
+      sampled_boxes: ``(S, 4)`` sampled proposals.
+      sample_res: dict from :func:`bonai_tpu.core.samplers.random_sample`.
+      gt_bboxes / gt_labels: padded ``(G, 4)`` / ``(G,)``.
+
+    Returns labels (int32, bg == num_classes), label_weights, bbox_targets,
+    bbox_weights — all ``(S, ...)``.
+    """
+    is_pos = sample_res["is_pos"]
+    valid = sample_res["valid"]
+    matched = sample_res["pos_gt_inds"]
+    labels = jnp.where(is_pos, gt_labels[matched], num_classes)
+    labels = labels.astype(jnp.int32)
+    label_weights = valid.astype(jnp.float32)
+    deltas = bbox2delta(sampled_boxes, gt_bboxes[matched],
+                        target_means, target_stds)
+    w = is_pos.astype(jnp.float32)[:, None]
+    bbox_targets = deltas * w
+    bbox_weights = jnp.broadcast_to(w, deltas.shape)
+    return labels, label_weights, bbox_targets, bbox_weights
