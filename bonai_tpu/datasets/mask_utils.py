@@ -33,6 +33,13 @@ def poly_to_mask(polys, h, w):
 
 def mask_to_rle_counts(mask):
     """Column-major run lengths starting with a zero-run (COCO order)."""
+    try:
+        from ..native import rle_encode_counts
+        counts = rle_encode_counts(np.asarray(mask, np.uint8))
+        if counts is not None:
+            return counts
+    except Exception:
+        pass
     flat = np.asarray(mask, np.uint8).flatten(order="F")
     n = flat.size
     if n == 0:
@@ -46,6 +53,13 @@ def mask_to_rle_counts(mask):
 
 
 def rle_counts_to_mask(counts, h, w):
+    try:
+        from ..native import rle_decode_counts
+        out = rle_decode_counts(counts, h, w)
+        if out is not None:
+            return out
+    except Exception:
+        pass
     flat = np.zeros(h * w, np.uint8)
     pos = 0
     val = 0
@@ -123,7 +137,32 @@ def rle_area(rle):
 
 
 def mask_iou(rles_a, rles_b, iscrowd=None):
-    """Pairwise mask IoU (decode-based; eval-time only)."""
+    """Pairwise mask IoU.  Fast path: native run-merge on RLE counts
+    without decoding; fallback: dense numpy."""
+    if iscrowd is None:
+        try:
+            from ..native import rle_iou_native
+            ca = [string_to_counts(r["counts"])
+                  if isinstance(r["counts"], (str, bytes)) else r["counts"]
+                  for r in rles_a]
+            cb = [string_to_counts(r["counts"])
+                  if isinstance(r["counts"], (str, bytes)) else r["counts"]
+                  for r in rles_b]
+            out = np.zeros((len(ca), len(cb)), np.float64)
+            ok = True
+            for i, a_ in enumerate(ca):
+                for j, b_ in enumerate(cb):
+                    v = rle_iou_native(a_, b_)
+                    if v is None:
+                        ok = False
+                        break
+                    out[i, j] = v
+                if not ok:
+                    break
+            if ok:
+                return out
+        except Exception:
+            pass
     a = [decode_mask(r).astype(bool) for r in rles_a]
     b = [decode_mask(r).astype(bool) for r in rles_b]
     out = np.zeros((len(a), len(b)), np.float64)
