@@ -1,0 +1,81 @@
+"""Single-image inference API.
+
+reference: ``mmdet/apis/inference.py:15-117`` (``init_detector`` /
+``inference_detector``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def init_detector(config, checkpoint=None, compute_dtype="bfloat16"):
+    """Build a model + variables from config (+ optional checkpoint).
+
+    Returns (model, variables, cfg).
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from .. import Config
+    from ..models import build_detector
+
+    if isinstance(config, str):
+        config = Config.fromfile(config)
+    model = build_detector(config.model, config.get("train_cfg"),
+                           config.get("test_cfg"),
+                           compute_dtype=compute_dtype)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    if checkpoint:
+        if str(checkpoint).endswith(".pth"):
+            from ..utils import (import_torch_state_dict,
+                                 mmdet_checkpoint_to_params)
+            sd = import_torch_state_dict(checkpoint)
+            params, batch_stats = mmdet_checkpoint_to_params(
+                sd, variables["params"], variables.get("batch_stats", {}))
+            variables = {"params": params, "batch_stats": batch_stats}
+        else:
+            from ..engine import create_train_state, load_checkpoint
+            state = create_train_state(variables["params"],
+                                       variables.get("batch_stats", {}),
+                                       optax.identity())
+            state = load_checkpoint(checkpoint, state)
+            variables = {"params": state.params,
+                         "batch_stats": state.batch_stats}
+    return model, variables, config
+
+
+def inference_detector(model, variables, cfg, img):
+    """Run the test pipeline + model on one image (path or BGR array).
+
+    Returns the reference-style result tuple for the image.
+    """
+    import jax
+    import jax.numpy as jnp
+    from ..datasets.pipelines import build_pipeline
+    from .test import results_to_host
+
+    pipeline_cfg = [dict(t) for t in cfg.data.test["pipeline"]]
+    if isinstance(img, str):
+        results = {"img_info": {"filename": img}, "img_prefix": "",
+                   "ann_info": {"bboxes": np.zeros((0, 4), np.float32),
+                                "labels": np.zeros(0, np.int64),
+                                "masks": [], "offsets": np.zeros((0, 2))}}
+        pipe = build_pipeline(pipeline_cfg)
+    else:
+        results = {"img": img, "img_shape": img.shape[:2],
+                   "ori_shape": img.shape[:2], "scale_factor": 1.0,
+                   "ann_info": {"bboxes": np.zeros((0, 4), np.float32),
+                                "labels": np.zeros(0, np.int64),
+                                "masks": [], "offsets": np.zeros((0, 2))}}
+        pipe = build_pipeline(
+            [t for t in pipeline_cfg if t["type"] != "LoadImageFromFile"])
+    out = pipe(results)
+    image = np.ascontiguousarray(out["img"], np.float32)[None]
+    h, w = out["img_shape"][:2]
+    sf = float(np.asarray(out.get("scale_factor", 1.0)).reshape(-1)[0])
+    dev = model.apply(variables, jnp.asarray(image),
+                      jnp.asarray([[h, w]], jnp.float32),
+                      jnp.asarray([sf]), method="simple_test")
+    meta = out.get("img_metas", {"ori_shape": out.get("ori_shape")})
+    return results_to_host(jax.device_get(dev), [meta])[0]
