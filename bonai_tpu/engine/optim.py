@@ -92,9 +92,14 @@ def frozen_mask_from_model(params, backbone_frozen_stages):
         prefixes.append(f"layer{s}_")
 
     def mark(path, _):
-        names = [getattr(p, "key", str(p)) for p in path]
+        names = [str(getattr(p, "key", p)) for p in path]
         if "backbone" not in names:
             return False
-        return any(str(n).startswith(tuple(prefixes)) for n in names)
+        # only the module name directly under `backbone` decides: the stem
+        # conv1/bn1 live at backbone/conv1, while every bottleneck block
+        # also has an inner conv1 (backbone/layerX_Y/conv1) that must NOT
+        # match the stem prefix.
+        child = names[names.index("backbone") + 1]
+        return any(child.startswith(p) for p in prefixes)
 
     return jax.tree_util.tree_map_with_path(mark, params)
