@@ -69,13 +69,15 @@ def main():
 
     # warmup/compile
     state, metrics = step(state, batch, rng)
-    jax.block_until_ready(metrics["loss"])
+    jax.block_until_ready(metrics)
 
+    # block every step: the experimental axon platform signals scalar
+    # outputs early, so tail-only blocking under-measures massively
     iters = 10
     t0 = time.perf_counter()
     for i in range(iters):
         state, metrics = step(state, batch, jax.random.fold_in(rng, i))
-    jax.block_until_ready(metrics["loss"])
+        jax.block_until_ready(metrics)
     dt = (time.perf_counter() - t0) / iters
     img_per_sec = batch_size / dt
 
