@@ -37,9 +37,35 @@ def set_random_seed(seed, deterministic=False):
     return jax.random.PRNGKey(seed)
 
 
+def _run_validation(model, state, cfg, metrics_log):
+    """Epoch-end validation (reference ``EvalHook``:
+    ``core/evaluation/eval_hooks.py:7-37`` → ``dataset.evaluate``)."""
+    from ..apis.test import run_inference
+    from ..datasets import build_dataset, build_dataloader
+    from ..evaluation.coco_eval import evaluate_coco
+    try:
+        val_ds = build_dataset(dict(cfg.data.val, test_mode=True))
+    except Exception as e:     # validation data absent is non-fatal
+        logger.warning("validation skipped: %s", e)
+        return {}
+    loader = build_dataloader(val_ds, samples_per_gpu=cfg.data.get(
+        "samples_per_gpu", 2), shuffle=False, train=False)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    results = run_inference(model, variables, loader, progress=False)
+    metric_types = cfg.get("evaluation", {}).get("metric", ["bbox"])
+    if isinstance(metric_types, str):
+        metric_types = [metric_types]
+    metric_types = [m for m in metric_types if m in ("bbox", "segm")]
+    metrics = evaluate_coco(val_ds, results, metric_types=metric_types)
+    logger.info("validation: %s",
+                " ".join(f"{k}={v:.4f}" for k, v in metrics.items()))
+    metrics_log.append(metrics)
+    return metrics
+
+
 def train_detector(cfg, work_dir, seed=0, resume_from=None, load_from=None,
                    max_steps=None, n_devices=None, log_interval=None,
-                   checkpoint_interval=None, dataset=None):
+                   checkpoint_interval=None, dataset=None, validate=False):
     """Run the full training recipe from a reference-format config."""
     os.makedirs(work_dir, exist_ok=True)
     rng = set_random_seed(seed)
@@ -134,6 +160,9 @@ def train_detector(cfg, work_dir, seed=0, resume_from=None, load_from=None,
         if (epoch + 1) % ckpt_interval == 0:
             save_checkpoint(work_dir, step, state,
                             meta=dict(epoch=epoch + 1, step=step))
+        eval_interval = cfg.get("evaluation", {}).get("interval", 0)
+        if validate and eval_interval and (epoch + 1) % eval_interval == 0:
+            _run_validation(model, state, cfg, history)
     save_checkpoint(work_dir, step, state,
                     meta=dict(final=True, step=step))
     return state, history

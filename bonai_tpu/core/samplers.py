@@ -34,6 +34,13 @@ def random_sample(rng, assigned_gt_inds, num, pos_fraction, neg_pos_ub=-1):
       pos_gt_inds: ``(num,)`` int32 0-based matched-gt index for pos slots
     """
     n = assigned_gt_inds.shape[0]
+    if num > n:
+        # fewer candidates than the requested sample size (tiny configs):
+        # sample all candidates and pad the outputs to `num`
+        inner = random_sample(rng, assigned_gt_inds, n, pos_fraction,
+                              neg_pos_ub)
+        pad = num - n
+        return {k: jnp.pad(v, (0, pad)) for k, v in inner.items()}
     num_expected_pos = int(num * pos_fraction)
     is_pos = assigned_gt_inds > 0
     is_neg = assigned_gt_inds == 0
