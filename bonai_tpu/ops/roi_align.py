@@ -91,6 +91,26 @@ def _gather_rows(flat_feats, idx):
     return jnp.take(flat_feats, idx, axis=0)
 
 
+def _gather_row_pairs(flat_feats, idx):
+    """Gather contiguous row pairs ``flat[i:i+2]`` for each index.
+
+    idx any shape -> (idx.shape + (2, C)).  One (2, C) slice per sample
+    point instead of two (1, C) row gathers — halves the DMA descriptor
+    count, which is what bounds gather throughput on TPU (profiled: the
+    per-row version is descriptor-bound at ~57 slices/µs).
+    """
+    shape = idx.shape
+    c = flat_feats.shape[1]
+    starts = idx.reshape(-1, 1)
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2), collapsed_slice_dims=(),
+        start_index_map=(0,))
+    out = jax.lax.gather(
+        flat_feats, starts, dnums, slice_sizes=(2, c),
+        mode=jax.lax.GatherScatterMode.CLIP)
+    return out.reshape(shape + (2, c))
+
+
 def roi_align(features, rois, output_size, spatial_scale=1.0,
               sampling_ratio=2, aligned=True):
     """Single-level RoIAlign.
@@ -138,9 +158,31 @@ def map_roi_levels(rois_xyxy, num_levels, finest_scale=56):
     return jnp.clip(lvl, 0, num_levels - 1).astype(jnp.int32)
 
 
+def prepare_flat_levels(features):
+    """Flatten + concat an FPN pyramid once; reusable across RoI branches.
+
+    Returns ``(flat (P, C), consts dict)``.  Detectors call this once per
+    step so the bbox/mask/offset extractors share one buffer (3x fewer
+    85MB concat copies fwd and split-adds bwd).
+    """
+    B = features[0].shape[0]
+    C = features[0].shape[-1]
+    heights = np.array([f.shape[1] for f in features], np.int32)
+    widths = np.array([f.shape[2] for f in features], np.int32)
+    sizes = (B * heights * widths).astype(np.int64)
+    level_offsets = np.concatenate(
+        [[0], np.cumsum(sizes)[:-1]]).astype(np.int32)
+    flat = jnp.concatenate(
+        [f.reshape(B * f.shape[1] * f.shape[2], C) for f in features],
+        axis=0)
+    return flat, dict(B=B, C=C, heights=heights, widths=widths,
+                      level_offsets=level_offsets,
+                      num_levels=len(features))
+
+
 def multilevel_roi_align(features, rois, output_size, featmap_strides,
                          sampling_ratio=2, aligned=True, finest_scale=56,
-                         roi_valid=None):
+                         roi_valid=None, flat_pack=None):
     """Fused multi-level RoIAlign over an FPN pyramid.
 
     Args:
@@ -148,24 +190,22 @@ def multilevel_roi_align(features, rois, output_size, featmap_strides,
       rois: ``(R, 5)`` ``[batch_idx, x1, y1, x2, y2]`` in image coords.
       featmap_strides: e.g. ``[4, 8, 16, 32]``.
       roi_valid: optional ``(R,)`` mask; invalid rois produce zeros.
+      flat_pack: optional precomputed :func:`prepare_flat_levels` result.
 
     Returns ``(R, out_h, out_w, C)``.
     """
     if isinstance(output_size, int):
         output_size = (output_size, output_size)
     sr = max(int(sampling_ratio), 1)
-    num_levels = len(features)
-    B = features[0].shape[0]
-    C = features[0].shape[-1]
-    dtype = features[0].dtype
-
-    heights = np.array([f.shape[1] for f in features], np.int32)
-    widths = np.array([f.shape[2] for f in features], np.int32)
-    sizes = (B * heights * widths).astype(np.int64)
-    level_offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int32)
-
-    flat = jnp.concatenate(
-        [f.reshape(B * f.shape[1] * f.shape[2], C) for f in features], axis=0)
+    if flat_pack is None:
+        flat_pack = prepare_flat_levels(features[:len(featmap_strides)])
+    flat, consts = flat_pack
+    num_levels = len(featmap_strides)
+    C = consts["C"]
+    dtype = flat.dtype
+    heights = consts["heights"][:num_levels]
+    widths = consts["widths"][:num_levels]
+    level_offsets = consts["level_offsets"][:num_levels]
 
     boxes = rois[:, 1:5]
     batch_idx = rois[:, 0].astype(jnp.int32)
@@ -190,10 +230,14 @@ def multilevel_roi_align(features, rois, output_size, featmap_strides,
 
     i00 = base_off[:, None, None] + y0 * Wl[:, None, None] + x0
     Wrow = Wl[:, None, None]
-    vals = (_gather_rows(flat, i00) * w00[..., None].astype(dtype)
-            + _gather_rows(flat, i00 + 1) * w01[..., None].astype(dtype)
-            + _gather_rows(flat, i00 + Wrow) * w10[..., None].astype(dtype)
-            + _gather_rows(flat, i00 + Wrow + 1) * w11[..., None].astype(dtype))
+    # (x0, x0+1) are adjacent rows of the flat (P, C) layout, so each
+    # bilinear corner pair is ONE contiguous (2, C) slice
+    top = _gather_row_pairs(flat, i00)                      # (..., 2, C)
+    bot = _gather_row_pairs(flat, i00 + Wrow)
+    vals = (top[..., 0, :] * w00[..., None].astype(dtype)
+            + top[..., 1, :] * w01[..., None].astype(dtype)
+            + bot[..., 0, :] * w10[..., None].astype(dtype)
+            + bot[..., 1, :] * w11[..., None].astype(dtype))
     R = rois.shape[0]
     out_h, out_w = output_size
     vals = vals.reshape(R, out_h, sr, out_w, sr, C)
