@@ -25,8 +25,10 @@ def _plain(obj):
 
 def build_detector(cfg, train_cfg=None, test_cfg=None, compute_dtype=None):
     from .detectors import FasterRCNN, MaskRCNN, LOFT, TwoStageDetector
+    from .detectors.single_stage import RetinaNet
     registry = {"FasterRCNN": FasterRCNN, "MaskRCNN": MaskRCNN,
-                "LOFT": LOFT, "TwoStageDetector": TwoStageDetector}
+                "LOFT": LOFT, "TwoStageDetector": TwoStageDetector,
+                "RetinaNet": RetinaNet}
     registry.update(DETECTORS.module_dict)
     cfg = _plain(dict(cfg))
     det_type = cfg.pop("type")
@@ -36,12 +38,15 @@ def build_detector(cfg, train_cfg=None, test_cfg=None, compute_dtype=None):
     kwargs = dict(
         backbone=cfg.get("backbone"),
         neck=cfg.get("neck"),
-        rpn_head=cfg.get("rpn_head"),
-        roi_head=cfg.get("roi_head"),
         train_cfg=_plain(dict(train_cfg)) if train_cfg else None,
         test_cfg=_plain(dict(test_cfg)) if test_cfg else None,
         pretrained=cfg.get("pretrained"),
     )
+    if "rpn_head" in cfg or "roi_head" in cfg:
+        kwargs["rpn_head"] = cfg.get("rpn_head")
+        kwargs["roi_head"] = cfg.get("roi_head")
+    else:   # single-stage
+        kwargs["bbox_head"] = cfg.get("bbox_head")
     if compute_dtype is not None:
         kwargs["compute_dtype"] = compute_dtype
     return registry[det_type](**kwargs)
