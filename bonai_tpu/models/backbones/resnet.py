@@ -56,12 +56,13 @@ class FrozenBatchNorm(nn.Module):
         return x.astype(self.dtype) * w + b
 
 
-def conv(features, kernel, stride=1, pad=None, name=None, dtype=jnp.float32):
+def conv(features, kernel, stride=1, pad=None, name=None, dtype=jnp.float32,
+         groups=1):
     if pad is None:
         pad = kernel // 2
     return nn.Conv(features, (kernel, kernel), strides=(stride, stride),
                    padding=[(pad, pad), (pad, pad)], use_bias=False,
-                   dtype=dtype, name=name,
+                   dtype=dtype, name=name, feature_group_count=groups,
                    kernel_init=nn.initializers.variance_scaling(
                        2.0, "fan_out", "normal"))
 
@@ -72,15 +73,22 @@ class Bottleneck(nn.Module):
     downsample: bool = False
     dtype: Any = jnp.float32
     expansion: int = 4
+    groups: int = 1          # >1 with base_width: ResNeXt grouped bottleneck
+    base_width: int = 4      # (reference: mmdet/models/backbones/resnext.py)
 
     @nn.compact
     def __call__(self, x):
         identity = x
+        if self.groups == 1:
+            width = self.planes
+        else:
+            width = int(self.planes * (self.base_width / 64)) * self.groups
         # style='pytorch': stride on the 3x3 conv (reference resnet.py)
-        out = conv(self.planes, 1, 1, 0, "conv1", self.dtype)(x)
+        out = conv(width, 1, 1, 0, "conv1", self.dtype)(x)
         out = FrozenBatchNorm(dtype=self.dtype, name="bn1")(out)
         out = nn.relu(out)
-        out = conv(self.planes, 3, self.stride, 1, "conv2", self.dtype)(out)
+        out = conv(width, 3, self.stride, 1, "conv2", self.dtype,
+                   groups=self.groups)(out)
         out = FrozenBatchNorm(dtype=self.dtype, name="bn2")(out)
         out = nn.relu(out)
         out = conv(self.planes * self.expansion, 1, 1, 0, "conv3",
@@ -116,13 +124,17 @@ class BasicBlock(nn.Module):
 
 
 class ResNet(nn.Module):
-    """reference config surface: ``mmdet/models/backbones/resnet.py:525-648``."""
+    """reference config surface: ``mmdet/models/backbones/resnet.py:525-648``.
+    ``groups``/``base_width`` > defaults give ResNeXt
+    (reference ``mmdet/models/backbones/resnext.py``)."""
     depth: int = 50
     num_stages: int = 4
     out_indices: Sequence[int] = (0, 1, 2, 3)
     frozen_stages: int = 1
     norm_eval: bool = True      # kept for config parity; BN is always frozen
     style: str = "pytorch"
+    groups: int = 1
+    base_width: int = 4
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -146,11 +158,15 @@ class ResNet(nn.Module):
             num_blocks = stage_blocks[stage]
             stride = 1 if stage == 0 else 2
             for b in range(num_blocks):
-                x = block_cls(planes=planes,
+                kwargs = dict(planes=planes,
                               stride=stride if b == 0 else 1,
                               downsample=(b == 0),
                               dtype=self.dtype,
-                              name=f"layer{stage + 1}_{b}")(x)
+                              name=f"layer{stage + 1}_{b}")
+                if block_cls is Bottleneck:
+                    kwargs.update(groups=self.groups,
+                                  base_width=self.base_width)
+                x = block_cls(**kwargs)(x)
             if self.frozen_stages >= stage + 1:
                 x = jax.lax.stop_gradient(x)
             if stage in self.out_indices:

@@ -100,7 +100,9 @@ class TwoStageDetector(nn.Module):
     def setup(self):
         dt = _dtype(self.compute_dtype)
         bk = dict(self.backbone)
-        assert bk.pop("type", "ResNet") == "ResNet", "only ResNet backbones yet"
+        bk_type = bk.pop("type", "ResNet")
+        assert bk_type in ("ResNet", "ResNeXt"), \
+            f"unsupported backbone {bk_type}"
         self.backbone_m = ResNet(
             depth=bk.get("depth", 50),
             num_stages=bk.get("num_stages", 4),
@@ -108,6 +110,8 @@ class TwoStageDetector(nn.Module):
             frozen_stages=bk.get("frozen_stages", -1),
             norm_eval=bk.get("norm_eval", True),
             style=bk.get("style", "pytorch"),
+            groups=bk.get("groups", 1),
+            base_width=bk.get("base_width", 4),
             dtype=dt, name="backbone")
         nk = dict(self.neck)
         assert nk.pop("type", "FPN") == "FPN"

@@ -230,14 +230,14 @@ def multilevel_roi_align(features, rois, output_size, featmap_strides,
 
     i00 = base_off[:, None, None] + y0 * Wl[:, None, None] + x0
     Wrow = Wl[:, None, None]
-    # (x0, x0+1) are adjacent rows of the flat (P, C) layout, so each
-    # bilinear corner pair is ONE contiguous (2, C) slice
-    top = _gather_row_pairs(flat, i00)                      # (..., 2, C)
-    bot = _gather_row_pairs(flat, i00 + Wrow)
-    vals = (top[..., 0, :] * w00[..., None].astype(dtype)
-            + top[..., 1, :] * w01[..., None].astype(dtype)
-            + bot[..., 0, :] * w10[..., None].astype(dtype)
-            + bot[..., 1, :] * w11[..., None].astype(dtype))
+    # NOTE: keep per-row jnp.take gathers — lax.gather with (2, C) slice
+    # sizes looks cheaper on paper (half the descriptors) but Mosaic/XLA
+    # lowers non-collapsed slice dims to a sequential 400k-iteration while
+    # loop (profiled at 44x slower).  Row gathers are the vectorized path.
+    vals = (_gather_rows(flat, i00) * w00[..., None].astype(dtype)
+            + _gather_rows(flat, i00 + 1) * w01[..., None].astype(dtype)
+            + _gather_rows(flat, i00 + Wrow) * w10[..., None].astype(dtype)
+            + _gather_rows(flat, i00 + Wrow + 1) * w11[..., None].astype(dtype))
     R = rois.shape[0]
     out_h, out_w = output_size
     vals = vals.reshape(R, out_h, sr, out_w, sr, C)

@@ -1,0 +1,68 @@
+"""Backbone/neck structure tests (eval_shape only — no heavy compute;
+the analog of reference tests/test_models/test_backbones.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bonai_tpu.models.backbones.resnet import ResNet
+from bonai_tpu.models.necks.fpn import FPN
+
+
+def _shapes(tree):
+    return jax.tree_util.tree_map(lambda x: x.shape, tree)
+
+
+def test_resnet50_structure():
+    m = ResNet(depth=50, frozen_stages=1)
+    out, v = jax.eval_shape(
+        lambda r, x: m.init_with_output(r, x),
+        jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)))
+    c2, c3, c4, c5 = out
+    assert c2.shape == (1, 56, 56, 256)
+    assert c3.shape == (1, 28, 28, 512)
+    assert c4.shape == (1, 14, 14, 1024)
+    assert c5.shape == (1, 7, 7, 2048)
+    p = v["params"]
+    assert p["conv1"]["kernel"].shape == (7, 7, 3, 64)
+    assert "layer4_2" in p
+    # batch stats present for every BN
+    assert v["batch_stats"]["bn1"]["mean"].shape == (64,)
+
+
+def test_resnet18_basic_blocks():
+    m = ResNet(depth=18, frozen_stages=-1)
+    out, v = jax.eval_shape(
+        lambda r, x: m.init_with_output(r, x),
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    assert out[-1].shape == (1, 2, 2, 512)
+    assert "conv3" not in v["params"]["layer1_0"]   # basic block has 2 convs
+
+
+def test_resnext_grouped_conv():
+    m = ResNet(depth=50, groups=32, base_width=4)
+    v = jax.eval_shape(m.init, jax.random.PRNGKey(0),
+                       jnp.zeros((1, 64, 64, 3)))
+    k = v["params"]["layer1_0"]["conv2"]["kernel"]
+    # width = 64*(4/64)*32 = 128; grouped: in/groups = 4
+    assert k.shape == (3, 3, 4, 128)
+
+
+def test_fpn_output_levels():
+    m = FPN(in_channels=(256, 512, 1024, 2048), out_channels=256, num_outs=5)
+    ins = tuple(jnp.zeros((1, s, s, c)) for s, c in
+                [(64, 256), (32, 512), (16, 1024), (8, 2048)])
+    outs, _ = jax.eval_shape(
+        lambda r, x: m.init_with_output(r, x), jax.random.PRNGKey(0), ins)
+    assert len(outs) == 5
+    assert [o.shape[1] for o in outs] == [64, 32, 16, 8, 4]
+    assert all(o.shape[-1] == 256 for o in outs)
+
+
+def test_fpn_values_topdown():
+    """Lateral + 2x nearest upsample adds coarse into fine (numeric)."""
+    m = FPN(in_channels=(4, 8), out_channels=4, num_outs=2)
+    ins = (jnp.ones((1, 8, 8, 4)), jnp.ones((1, 4, 4, 8)))
+    outs, _ = m.init_with_output(jax.random.PRNGKey(0), ins)
+    assert outs[0].shape == (1, 8, 8, 4)
+    assert np.isfinite(np.asarray(outs[0])).all()
