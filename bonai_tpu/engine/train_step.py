@@ -97,6 +97,11 @@ def device_prefetch(iterator, mesh=None, axis_name="data", size=2):
 
     def put(item):
         batch, meta = item
+        # ship instance masks as bf16: u8 device layout conversion runs on
+        # the scalar core (profiled at ~24ms for 2.5MB); bf16 is vectorized
+        if "gt_masks" in batch:
+            batch = dict(batch)
+            batch["gt_masks"] = jnp.asarray(batch["gt_masks"], jnp.bfloat16)
         if sharding is not None:
             batch = {k: jax.device_put(v, sharding)
                      for k, v in batch.items()}

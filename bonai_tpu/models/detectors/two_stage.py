@@ -173,7 +173,13 @@ class TwoStageDetector(nn.Module):
         out_size = layer.get("output_size", 7)
         sr = layer.get("sampling_ratio", 0) or 2   # static grid on TPU
         strides = list(extractor_cfg.get("featmap_strides", [4, 8, 16, 32]))
-        return multilevel_roi_align(
+        impl = extractor_cfg.get("impl", "blocked")
+        if impl == "blocked":
+            from ...ops.roi_align_blocked import multilevel_roi_align_blocked
+            fn = multilevel_roi_align_blocked
+        else:
+            fn = multilevel_roi_align
+        return fn(
             feats[:len(strides)], rois, out_size, strides,
             sampling_ratio=sr, roi_valid=roi_valid,
             finest_scale=extractor_cfg.get("finest_scale", 56),

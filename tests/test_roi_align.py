@@ -99,6 +99,45 @@ def test_multilevel_matches_single_level():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_blocked_matches_gather_impl():
+    from bonai_tpu.ops.roi_align_blocked import multilevel_roi_align_blocked
+    rng = np.random.RandomState(7)
+    B, C = 2, 8
+    feats = [jnp.asarray(rng.randn(B, 256 // s, 256 // s, C)
+                         .astype(np.float32)) for s in (4, 8, 16, 32)]
+    strides = [4, 8, 16, 32]
+    R = 24
+    ctr = rng.uniform(30, 220, (R, 2))
+    sc = rng.uniform(20, 150, (R, 1))
+    ar = rng.uniform(0.5, 2.0, (R, 1))
+    w = sc * np.sqrt(ar)
+    h = sc / np.sqrt(ar)
+    boxes = np.concatenate([ctr - np.c_[w, h] / 2,
+                            ctr + np.c_[w, h] / 2], 1).clip(0, 256)
+    rois = jnp.asarray(np.concatenate(
+        [rng.randint(0, B, (R, 1)), boxes], 1), jnp.float32)
+    ref = multilevel_roi_align(feats, rois, 7, strides, sampling_ratio=2)
+    got = multilevel_roi_align_blocked(feats, rois, 7, strides,
+                                       sampling_ratio=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_blocked_valid_mask_and_grad():
+    from bonai_tpu.ops.roi_align_blocked import multilevel_roi_align_blocked
+    feats = [jnp.ones((1, 64 // s * 4, 64 // s * 4, 4)) for s in
+             (4, 8, 16, 32)]
+    rois = jnp.array([[0, 8, 8, 40, 40], [0, 8, 8, 40, 40]], jnp.float32)
+    out = multilevel_roi_align_blocked(
+        feats, rois, 7, [4, 8, 16, 32],
+        roi_valid=jnp.array([True, False]))
+    assert float(jnp.abs(out[1]).sum()) == 0
+    assert float(jnp.abs(out[0]).sum()) > 0
+    g = jax.grad(lambda f: jnp.sum(multilevel_roi_align_blocked(
+        [f] + feats[1:], rois, 7, [4, 8, 16, 32])))(feats[0])
+    assert float(jnp.abs(g).sum()) > 0
+
+
 def test_multilevel_invalid_rois_zero():
     feats = [jnp.ones((1, 16, 16, 2)) for _ in range(4)]
     rois = jnp.array([[0, 0, 0, 32, 32], [0, 0, 0, 32, 32]], jnp.float32)
