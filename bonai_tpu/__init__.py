@@ -15,6 +15,17 @@ inheritance, string-typed registries, ``tools/train.py`` / ``tools/test.py``
 CLIs, pkl/CSV eval artifacts.
 """
 
+import os as _os
+
+if "JAX_PLATFORMS" in _os.environ:
+    # make the env var authoritative even when a site hook already
+    # imported jax with a different platform pinned
+    try:
+        import jax as _jax
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:       # pragma: no cover - jax absent/locked
+        pass
+
 from .version import __version__
 from .config import Config
 from .registry import Registry, build_from_cfg

@@ -121,7 +121,21 @@ def train_detector(cfg, work_dir, seed=0, resume_from=None, load_from=None,
         state = load_checkpoint(path, state)
         logger.info("resumed from %s at step %d", path, int(state.step))
     elif load_from or cfg.get("load_from"):
-        raise NotImplementedError("load_from: use resume_from for now")
+        # weights-only load (reference load_from semantics: no optimizer
+        # state, step restarts at 0 — ``apis/train.py:139-142``)
+        path = load_from or cfg.get("load_from")
+        if str(path).endswith(".pth"):
+            from ..utils import (import_torch_state_dict,
+                                 mmdet_checkpoint_to_params)
+            sd = import_torch_state_dict(path)
+            p2, bs2 = mmdet_checkpoint_to_params(
+                sd, state.params, state.batch_stats)
+            state = state.replace(params=p2, batch_stats=bs2)
+        else:
+            loaded = load_checkpoint(path, state)
+            state = state.replace(params=loaded.params,
+                                  batch_stats=loaded.batch_stats)
+        logger.info("loaded weights from %s", path)
 
     train_step = make_train_step(model, tx, mesh=mesh)
     log_interval = log_interval or cfg.get("log_config", {}).get("interval", 10)

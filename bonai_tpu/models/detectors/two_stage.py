@@ -173,7 +173,9 @@ class TwoStageDetector(nn.Module):
         out_size = layer.get("output_size", 7)
         sr = layer.get("sampling_ratio", 0) or 2   # static grid on TPU
         strides = list(extractor_cfg.get("featmap_strides", [4, 8, 16, 32]))
-        impl = extractor_cfg.get("impl", "blocked")
+        # default = gather: the blocked variant's forward is faster but its
+        # backward block-scatter serializes (~23GB/s) and loses end-to-end
+        impl = extractor_cfg.get("impl", "gather")
         if impl == "blocked":
             from ...ops.roi_align_blocked import multilevel_roi_align_blocked
             fn = multilevel_roi_align_blocked
