@@ -137,7 +137,8 @@ def train_detector(cfg, work_dir, seed=0, resume_from=None, load_from=None,
                                   batch_stats=loaded.batch_stats)
         logger.info("loaded weights from %s", path)
 
-    train_step = make_train_step(model, tx, mesh=mesh)
+    train_step = make_train_step(model, tx, mesh=mesh,
+                                 lr_schedule=schedule)
     log_interval = log_interval or cfg.get("log_config", {}).get("interval", 10)
     ckpt_interval = checkpoint_interval or cfg.get(
         "checkpoint_config", {}).get("interval", 1)

@@ -268,6 +268,77 @@ class RandomRotate:
 
 
 @PIPELINES.register_module()
+class RandomCrop:
+    """Random crop with box/mask/offset consistency (reference:
+    ``transforms.py`` RandomCrop; offsets are translation-invariant)."""
+
+    def __init__(self, crop_size):
+        self.crop_size = tuple(crop_size)   # (h, w)
+
+    def __call__(self, results):
+        rng = results.setdefault("_rng", np.random.RandomState())
+        h, w = results["img_shape"][:2]
+        ch, cw = min(self.crop_size[0], h), min(self.crop_size[1], w)
+        y0 = rng.randint(0, h - ch + 1)
+        x0 = rng.randint(0, w - cw + 1)
+        results["img"] = results["img"][y0:y0 + ch, x0:x0 + cw]
+        results["img_shape"] = (ch, cw)
+        if "gt_bboxes" in results and len(results["gt_bboxes"]):
+            b = results["gt_bboxes"] - np.array([x0, y0, x0, y0],
+                                                np.float32)
+            b[:, 0::2] = b[:, 0::2].clip(0, cw)
+            b[:, 1::2] = b[:, 1::2].clip(0, ch)
+            keep = ((b[:, 2] > b[:, 0]) & (b[:, 3] > b[:, 1]))
+            results["gt_bboxes"] = b[keep]
+            for key in ("gt_labels", "gt_offsets"):
+                if key in results and len(results[key]):
+                    results[key] = results[key][keep]
+            if "gt_masks" in results:
+                shift = np.array([x0, y0], np.float32)
+                results["gt_masks"] = [
+                    [p - shift for p in inst]
+                    for inst, k in zip(results["gt_masks"], keep) if k]
+            if not keep.any():
+                return None    # triggers _rand_another retry upstream
+        return results
+
+
+@PIPELINES.register_module()
+class PhotoMetricDistortion:
+    """Brightness/contrast/saturation jitter (reference:
+    ``transforms.py`` PhotoMetricDistortion, simplified HSV path)."""
+
+    def __init__(self, brightness_delta=32, contrast_range=(0.5, 1.5),
+                 saturation_range=(0.5, 1.5), hue_delta=18):
+        self.brightness_delta = brightness_delta
+        self.contrast_range = contrast_range
+        self.saturation_range = saturation_range
+        self.hue_delta = hue_delta
+
+    def __call__(self, results):
+        import cv2
+        rng = results.setdefault("_rng", np.random.RandomState())
+        img = results["img"].astype(np.float32)
+        if rng.randint(2):
+            img += rng.uniform(-self.brightness_delta,
+                               self.brightness_delta)
+        if rng.randint(2):
+            img *= rng.uniform(*self.contrast_range)
+        hsv = cv2.cvtColor(img.clip(0, 255).astype(np.uint8),
+                           cv2.COLOR_BGR2HSV).astype(np.float32)
+        if rng.randint(2):
+            hsv[..., 1] *= rng.uniform(*self.saturation_range)
+        if rng.randint(2):
+            hsv[..., 0] = (hsv[..., 0]
+                           + rng.uniform(-self.hue_delta,
+                                         self.hue_delta)) % 180
+        img = cv2.cvtColor(hsv.clip(0, 255).astype(np.uint8),
+                           cv2.COLOR_HSV2BGR).astype(np.float32)
+        results["img"] = img
+        return results
+
+
+@PIPELINES.register_module()
 class OffsetTransform:
     """Rectangle → polar offset conversion (reference:
     ``transforms.py:2098-2129``) for the polar-coder experiments."""

@@ -23,7 +23,8 @@ from jax.experimental.shard_map import shard_map
 from .train_state import TrainState
 
 
-def make_train_step(model, tx, mesh=None, axis_name="data", donate=True):
+def make_train_step(model, tx, mesh=None, axis_name="data", donate=True,
+                    lr_schedule=None):
     """Build the compiled train step ``(state, batch, rng) -> (state, metrics)``.
 
     With a mesh, the step is shard_map'd: batch sharded over ``axis_name``,
@@ -53,6 +54,8 @@ def make_train_step(model, tx, mesh=None, axis_name="data", donate=True):
         metrics = dict(losses)
         metrics["loss"] = total
         metrics["grad_norm"] = optax.global_norm(grads)
+        if lr_schedule is not None:
+            metrics["lr"] = lr_schedule(state.step)
         new_state = state.replace(params=params, opt_state=opt_state,
                                   step=state.step + 1)
         return new_state, metrics
