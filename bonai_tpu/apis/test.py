@@ -68,6 +68,60 @@ def results_to_host(device_out, metas, num_classes=1, mask_thr=0.5,
     return results
 
 
+def flip_device_result(out, img_shape, direction="horizontal"):
+    """Flip padded device results back to original orientation
+    (reference: ``mmdet/core/post_processing/merge_augs.py`` +
+    ``RandomFlip.offset_flip`` semantics for the offset vectors)."""
+    import jax.numpy as jnp
+    from ..core.boxes import bbox_flip
+    boxes = out["det_bboxes"]
+    flipped = {k: v for k, v in out.items()}
+    flipped["det_bboxes"] = jnp.stack(
+        [bbox_flip(boxes[i], img_shape[i], direction)
+         for i in range(boxes.shape[0])])
+    if "mask_probs" in out:
+        axis = 3 if direction == "horizontal" else 2
+        flipped["mask_probs"] = jnp.flip(out["mask_probs"], axis=axis)
+    if "offsets" in out:
+        o = out["offsets"]
+        if direction == "horizontal":
+            flipped["offsets"] = o * jnp.asarray([-1.0, 1.0])
+        else:
+            flipped["offsets"] = o * jnp.asarray([1.0, -1.0])
+    return flipped
+
+
+def merge_flip_tta(orig, flipped_back, iou_thr=0.5, max_per_img=None):
+    """Detection-level TTA merge: concatenate both views' detections and
+    re-run NMS (aug_test analog; the reference merges at proposal level,
+    which needs a second RCNN pass — det-level merge is the standard
+    cheap TTA and is exact for flip symmetry)."""
+    import jax
+    import jax.numpy as jnp
+    from ..core.nms import batched_nms
+    out = {}
+    n = orig["det_bboxes"].shape[1]
+    max_per_img = max_per_img or n
+    for k in orig:
+        out[k] = jnp.concatenate([orig[k], flipped_back[k]], axis=1)
+
+    def merge_one(boxes, scores, labels, valid):
+        keep = batched_nms(boxes, scores, labels, iou_thr, valid=valid)
+        s = jnp.where(keep, scores, 0.0)
+        top, idx = jax.lax.top_k(s, max_per_img)
+        return idx, top
+
+    b = out["det_bboxes"].shape[0]
+    idx, top = jax.vmap(merge_one)(out["det_bboxes"], out["det_scores"],
+                                   out["det_labels"], out["det_valid"])
+    gather = lambda v: jnp.take_along_axis(
+        v, idx.reshape(idx.shape + (1,) * (v.ndim - 2)), axis=1)
+    merged = {k: gather(v) for k, v in out.items()}
+    merged["det_scores"] = top
+    merged["det_valid"] = top > 0
+    return merged
+
+
 def run_inference(model, variables, loader, eval_step=None, max_images=None,
                   with_offset=True, progress=True):
     """Run the eval loop over a test loader; returns the flat result list

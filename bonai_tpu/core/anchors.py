@@ -96,6 +96,9 @@ class AnchorGenerator:
         all_anchors = base_anchors[None, :, :] + shifts[:, None, :]
         return all_anchors.reshape(-1, 4).astype(np.float32)
 
+    def rotated_base_anchors(self):
+        return None
+
     def valid_flags(self, featmap_sizes, pad_shape):
         """Per-level bool arrays marking anchors whose grid cell lies inside
         the un-padded image region (reference: ``anchor_generator.py:273-330``)."""
@@ -112,3 +115,41 @@ class AnchorGenerator:
             vv = (vy[:, None] & vx[None, :]).reshape(-1)
             flags.append(np.repeat(vv, self.num_base_anchors[i]))
         return flags
+
+
+@ANCHOR_GENERATORS.register_module()
+class RAnchorGenerator(AnchorGenerator):
+    """Rotated anchors — adds an ``angles`` axis; anchors become
+    ``(xc, yc, w, h, θ)`` (reference:
+    ``mmdet/core/anchor/ranchor_generator.py:9-60``, used by the
+    rotated-box experiments of §2.8)."""
+
+    def __init__(self, *args, angles=(0.0,), **kwargs):
+        self.angles = [float(a) for a in angles]
+        super().__init__(*args, **kwargs)
+
+    def _single_level_base_anchors(self, base_size, scales, ratios,
+                                   center=None):
+        aligned = super()._single_level_base_anchors(
+            base_size, scales, ratios, center)          # (A, 4) xyxy
+        xc = (aligned[:, 0] + aligned[:, 2]) * 0.5
+        yc = (aligned[:, 1] + aligned[:, 3]) * 0.5
+        w = aligned[:, 2] - aligned[:, 0]
+        h = aligned[:, 3] - aligned[:, 1]
+        out = []
+        for ang in self.angles:
+            theta = np.full_like(xc, np.deg2rad(ang))
+            out.append(np.stack([xc, yc, w, h, theta], axis=-1))
+        return np.concatenate(out, axis=0)              # (A*angles, 5)
+
+    @staticmethod
+    def _single_level_grid_anchors(base_anchors, featmap_size, stride):
+        feat_h, feat_w = featmap_size
+        shift_x = np.arange(0, feat_w, dtype=np.float32) * stride[0]
+        shift_y = np.arange(0, feat_h, dtype=np.float32) * stride[1]
+        xx = np.tile(shift_x, feat_h)
+        yy = np.repeat(shift_y, feat_w)
+        zeros = np.zeros_like(xx)
+        shifts = np.stack([xx, yy, zeros, zeros, zeros], axis=-1)
+        all_anchors = base_anchors[None, :, :] + shifts[:, None, :]
+        return all_anchors.reshape(-1, 5).astype(np.float32)

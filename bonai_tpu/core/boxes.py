@@ -231,6 +231,56 @@ class DeltaPolarOffsetCoder:
         return jnp.stack([length, angle], axis=-1)
 
 
+@BBOX_CODERS.register_module()
+class DeltaRBBoxCoder:
+    """Rotated-box delta coder for the rotated-anchor experiments
+    (reference: ``mmdet/core/bbox/coder/delta_rbbox_coder.py``).
+    Boxes are ``(xc, yc, w, h, θ)``; deltas
+    ``(dx, dy, log dw, log dh, dθ)`` in the proposal's rotated frame.
+    """
+
+    def __init__(self, target_means=(0., 0., 0., 0., 0.),
+                 target_stds=(1., 1., 1., 1., 1.)):
+        self.means = tuple(target_means)
+        self.stds = tuple(target_stds)
+
+    def encode(self, proposals, gt, eps=1e-7):
+        pxc, pyc = proposals[..., 0], proposals[..., 1]
+        pw = jnp.maximum(proposals[..., 2], eps)
+        ph = jnp.maximum(proposals[..., 3], eps)
+        pt = proposals[..., 4]
+        cos_t, sin_t = jnp.cos(pt), jnp.sin(pt)
+        ddx = gt[..., 0] - pxc
+        ddy = gt[..., 1] - pyc
+        # project the centre offset into the proposal frame
+        dx = (cos_t * ddx + sin_t * ddy) / pw
+        dy = (-sin_t * ddx + cos_t * ddy) / ph
+        dw = jnp.log(jnp.maximum(gt[..., 2], eps) / pw)
+        dh = jnp.log(jnp.maximum(gt[..., 3], eps) / ph)
+        dt = gt[..., 4] - pt
+        deltas = jnp.stack([dx, dy, dw, dh, dt], axis=-1)
+        means = jnp.asarray(self.means, deltas.dtype)
+        stds = jnp.asarray(self.stds, deltas.dtype)
+        return (deltas - means) / stds
+
+    def decode(self, proposals, deltas, wh_ratio_clip=16 / 1000):
+        means = jnp.asarray(self.means, deltas.dtype)
+        stds = jnp.asarray(self.stds, deltas.dtype)
+        d = deltas * stds + means
+        max_ratio = abs(math.log(wh_ratio_clip))
+        dw = jnp.clip(d[..., 2], -max_ratio, max_ratio)
+        dh = jnp.clip(d[..., 3], -max_ratio, max_ratio)
+        pxc, pyc = proposals[..., 0], proposals[..., 1]
+        pw, ph, pt = proposals[..., 2], proposals[..., 3], proposals[..., 4]
+        cos_t, sin_t = jnp.cos(pt), jnp.sin(pt)
+        gx = pxc + pw * d[..., 0] * cos_t - ph * d[..., 1] * sin_t
+        gy = pyc + pw * d[..., 0] * sin_t + ph * d[..., 1] * cos_t
+        gw = pw * jnp.exp(dw)
+        gh = ph * jnp.exp(dh)
+        gt_ = pt + d[..., 4]
+        return jnp.stack([gx, gy, gw, gh, gt_], axis=-1)
+
+
 # --------------------------------------------------------------------------
 # misc transforms
 # --------------------------------------------------------------------------
