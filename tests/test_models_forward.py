@@ -101,18 +101,37 @@ def tiny_loft_run():
     params = variables["params"]
     other = {k: v for k, v in variables.items() if k != "params"}
 
-    def loss_fn(p):
-        losses = model.apply({"params": p, **other}, batch,
-                             method="forward_train",
-                             rngs={"sampling": jax.random.PRNGKey(2)})
-        return sum(jnp.sum(v) for v in losses.values()), losses
+    @jax.jit
+    def run(p, batch):
+        def loss_fn(p):
+            losses = model.apply({"params": p, **other}, batch,
+                                 method="forward_train",
+                                 rngs={"sampling": jax.random.PRNGKey(2)})
+            return sum(jnp.sum(v) for v in losses.values()), losses
+        return jax.value_and_grad(loss_fn, has_aux=True)(p)
 
-    (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-    return model, variables, losses, grads
+    (_, losses), grads = run(params, batch)
+    return model, variables, losses, grads, run, params
+
+
+def test_loft_zero_gt_batch_is_finite(tiny_loft_run):
+    """All-padded GT must not produce NaNs (reference empty-GT handling
+    via _rand_another is a data-side retry; the compiled step must still
+    be safe when a shard sees no positives)."""
+    model, variables, _, _, run, params = tiny_loft_run
+    batch = demo_batch(3)
+    batch = dict(batch)
+    batch["gt_valid"] = jnp.zeros_like(batch["gt_valid"])
+    (_, losses), grads = run(params, batch)
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+    gnorm = sum(float(jnp.abs(g).sum())
+                for g in jax.tree_util.tree_leaves(grads))
+    assert np.isfinite(gnorm)
 
 
 def test_loft_forward_train_losses(tiny_loft_run):
-    _, _, losses, _ = tiny_loft_run
+    losses = tiny_loft_run[2]
     expected = {"loss_rpn_cls", "loss_rpn_bbox", "loss_cls", "loss_bbox",
                 "loss_mask", "loss_offset"}
     assert set(losses) == expected
@@ -125,7 +144,7 @@ def test_loft_forward_train_losses(tiny_loft_run):
 
 
 def test_loft_gradients_respect_frozen_stages(tiny_loft_run):
-    _, _, _, grads = tiny_loft_run
+    grads = tiny_loft_run[3]
     bk = grads["backbone"]
 
     def total(tree):
