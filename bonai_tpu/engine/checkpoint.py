@@ -42,6 +42,14 @@ def latest_checkpoint(work_dir):
     return osp.join(root, f"step_{max(steps)}")
 
 
+def load_params_only(path):
+    """Restore just {params, batch_stats} from a checkpoint (eval path —
+    the optimizer state tree need not match)."""
+    ckpter = ocp.StandardCheckpointer()
+    restored = ckpter.restore(osp.join(path, "state"))
+    return restored["params"], restored.get("batch_stats", {})
+
+
 def load_checkpoint(path, abstract_state):
     """Restore into the structure of ``abstract_state`` (a TrainState or a
     matching pytree of ShapeDtypeStructs / arrays)."""

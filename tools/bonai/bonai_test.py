@@ -59,12 +59,9 @@ def main():
             sd, variables["params"], variables.get("batch_stats", {}))
         variables = {"params": params, "batch_stats": batch_stats}
     else:
-        state = create_train_state(variables["params"],
-                                   variables.get("batch_stats", {}),
-                                   optax.identity())
-        state = load_checkpoint(args.checkpoint, state)
-        variables = {"params": state.params,
-                     "batch_stats": state.batch_stats}
+        from bonai_tpu.engine.checkpoint import load_params_only
+        params, batch_stats = load_params_only(args.checkpoint)
+        variables = {"params": params, "batch_stats": batch_stats}
 
     results = run_inference(model, variables, loader,
                             max_images=args.max_images)
