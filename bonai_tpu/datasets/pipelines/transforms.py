@@ -79,8 +79,20 @@ class LoadAnnotations:
 
     @staticmethod
     def _polys(segmentation):
+        # COCO 'segmentation' is either a polygon list or an RLE dict;
+        # RLEs are decoded and contour-traced into polygons so the rest
+        # of the pipeline stays polygon-based (exact geometric transforms)
+        if isinstance(segmentation, dict):
+            from ..mask_utils import decode_mask
+            from ...evaluation.bonai_eval import masks_to_polygons
+            return masks_to_polygons(decode_mask(segmentation))
         out = []
         for part in segmentation:
+            if isinstance(part, dict):
+                from ..mask_utils import decode_mask
+                from ...evaluation.bonai_eval import masks_to_polygons
+                out.extend(masks_to_polygons(decode_mask(part)))
+                continue
             arr = np.asarray(part, np.float32).reshape(-1, 2)
             if arr.shape[0] >= 3:
                 out.append(arr)

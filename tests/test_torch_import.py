@@ -174,3 +174,30 @@ def test_backbone_import_numerical_parity():
                     "batch_stats": b2["backbone"]}, jnp.asarray(x))
     np.testing.assert_allclose(np.transpose(np.asarray(out), (0, 3, 1, 2)),
                                t_out, rtol=1e-3, atol=1e-4)
+
+
+def test_fuse_conv_bn_identity():
+    """Folded BN must produce identical outputs with identical tree."""
+    import sys
+    import os.path as osp
+    sys.path.insert(0, osp.join(osp.dirname(osp.dirname(
+        osp.abspath(__file__))), "tools"))
+    from fuse_conv_bn import fuse_tree
+    from bonai_tpu.models.backbones.resnet import FrozenBatchNorm
+    rng = np.random.RandomState(5)
+    m = FrozenBatchNorm()
+    x = jnp.asarray(rng.randn(2, 4, 4, 8).astype(np.float32))
+    v = m.init(jax.random.PRNGKey(0), x)
+    params = {"bn": dict(v["params"])}
+    stats = {"bn": {"mean": jnp.asarray(rng.randn(8).astype(np.float32)),
+                    "var": jnp.asarray(
+                        rng.uniform(0.5, 2, 8).astype(np.float32))}}
+    params["bn"]["scale"] = jnp.asarray(rng.randn(8).astype(np.float32))
+    params["bn"]["bias"] = jnp.asarray(rng.randn(8).astype(np.float32))
+    before = m.apply({"params": params["bn"],
+                      "batch_stats": stats["bn"]}, x)
+    fp, fs = fuse_tree(params, stats)
+    after = m.apply({"params": fp["bn"], "batch_stats": fs["bn"]}, x)
+    np.testing.assert_allclose(np.asarray(after), np.asarray(before),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fs["bn"]["mean"]), 0.0)
