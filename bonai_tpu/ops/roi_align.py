@@ -91,6 +91,47 @@ def _gather_rows(flat_feats, idx):
     return jnp.take(flat_feats, idx, axis=0)
 
 
+@jax.custom_vjp
+def _bilinear_gather(flat, i00, wrow, w00, w01, w10, w11):
+    """4-corner weighted row gather with a fused-backward custom VJP.
+
+    Autodiff of the 4 separate ``jnp.take`` calls emits 4 independent
+    scatter-adds over the (P, C) buffer (each paying its own sort /
+    serialisation); the custom backward concatenates the corner updates
+    into ONE scatter of 4N rows.
+    """
+    vals = (_gather_rows(flat, i00) * w00[..., None].astype(flat.dtype)
+            + _gather_rows(flat, i00 + 1) * w01[..., None].astype(flat.dtype)
+            + _gather_rows(flat, i00 + wrow) * w10[..., None].astype(flat.dtype)
+            + _gather_rows(flat, i00 + wrow + 1) * w11[..., None].astype(flat.dtype))
+    return vals
+
+
+def _bilinear_gather_fwd(flat, i00, wrow, w00, w01, w10, w11):
+    proto = jnp.zeros((), flat.dtype)     # dtype token (valid pytree leaf)
+    return (_bilinear_gather(flat, i00, wrow, w00, w01, w10, w11),
+            (tuple(flat.shape), proto, i00, wrow, w00, w01, w10, w11))
+
+
+def _bilinear_gather_bwd(res, g):
+    shape, proto, i00, wrow, w00, w01, w10, w11 = res
+    dtype = proto.dtype
+    n = int(np.prod(i00.shape))
+    idx = jnp.stack([i00, i00 + 1, i00 + wrow, i00 + wrow + 1],
+                    axis=0).reshape(4 * n)
+    upd = jnp.stack(
+        [g * w00[..., None].astype(g.dtype),
+         g * w01[..., None].astype(g.dtype),
+         g * w10[..., None].astype(g.dtype),
+         g * w11[..., None].astype(g.dtype)],
+        axis=0).reshape(4 * n, g.shape[-1])
+    dflat = jnp.zeros(shape, dtype).at[idx].add(upd.astype(dtype))
+    return (dflat, None, None, None, None, None, None)
+
+
+_bilinear_gather.defvjp(_bilinear_gather_fwd, _bilinear_gather_bwd)
+
+
 def _gather_row_pairs(flat_feats, idx):
     """Gather contiguous row pairs ``flat[i:i+2]`` for each index.
 
@@ -229,15 +270,13 @@ def multilevel_roi_align(features, rois, output_size, featmap_strides,
         base_off = jnp.where(roi_valid, base_off, 0)
 
     i00 = base_off[:, None, None] + y0 * Wl[:, None, None] + x0
-    Wrow = Wl[:, None, None]
+    Wrow = jnp.broadcast_to(Wl[:, None, None], i00.shape)
     # NOTE: keep per-row jnp.take gathers — lax.gather with (2, C) slice
     # sizes looks cheaper on paper (half the descriptors) but Mosaic/XLA
     # lowers non-collapsed slice dims to a sequential 400k-iteration while
-    # loop (profiled at 44x slower).  Row gathers are the vectorized path.
-    vals = (_gather_rows(flat, i00) * w00[..., None].astype(dtype)
-            + _gather_rows(flat, i00 + 1) * w01[..., None].astype(dtype)
-            + _gather_rows(flat, i00 + Wrow) * w10[..., None].astype(dtype)
-            + _gather_rows(flat, i00 + Wrow + 1) * w11[..., None].astype(dtype))
+    # loop (profiled at 44x slower).  Row gathers are the vectorized path;
+    # the custom VJP fuses the 4 corner backward scatters into one.
+    vals = _bilinear_gather(flat, i00, Wrow, w00, w01, w10, w11)
     R = rois.shape[0]
     out_h, out_w = output_size
     vals = vals.reshape(R, out_h, sr, out_w, sr, C)
