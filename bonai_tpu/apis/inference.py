@@ -35,13 +35,9 @@ def init_detector(config, checkpoint=None, compute_dtype="bfloat16"):
                 sd, variables["params"], variables.get("batch_stats", {}))
             variables = {"params": params, "batch_stats": batch_stats}
         else:
-            from ..engine import create_train_state, load_checkpoint
-            state = create_train_state(variables["params"],
-                                       variables.get("batch_stats", {}),
-                                       optax.identity())
-            state = load_checkpoint(checkpoint, state)
-            variables = {"params": state.params,
-                         "batch_stats": state.batch_stats}
+            from ..engine.checkpoint import load_params_only
+            params, batch_stats = load_params_only(checkpoint)
+            variables = {"params": params, "batch_stats": batch_stats}
     return model, variables, config
 
 
