@@ -16,7 +16,6 @@ def init_detector(config, checkpoint=None, compute_dtype="bfloat16"):
     """
     import jax
     import jax.numpy as jnp
-    import optax
     from .. import Config
     from ..models import build_detector
 

@@ -316,6 +316,101 @@ class RandomCrop:
 
 
 @PIPELINES.register_module()
+class Expand:
+    """Paste the image onto a larger mean-filled canvas (reference:
+    ``transforms.py`` Expand — SSD-style zoom-out)."""
+
+    def __init__(self, mean=(0, 0, 0), ratio_range=(1, 4), prob=0.5):
+        self.mean = tuple(mean)
+        self.ratio_range = ratio_range
+        self.prob = prob
+
+    def __call__(self, results):
+        rng = results.setdefault("_rng", np.random.RandomState())
+        if rng.rand() >= self.prob:
+            return results
+        img = results["img"]
+        h, w = img.shape[:2]
+        ratio = rng.uniform(*self.ratio_range)
+        eh, ew = int(h * ratio), int(w * ratio)
+        top = rng.randint(0, eh - h + 1)
+        left = rng.randint(0, ew - w + 1)
+        canvas = np.empty((eh, ew, 3), img.dtype)
+        canvas[...] = np.asarray(self.mean, img.dtype)
+        canvas[top:top + h, left:left + w] = img
+        results["img"] = canvas
+        results["img_shape"] = (eh, ew)
+        shift4 = np.array([left, top, left, top], np.float32)
+        if "gt_bboxes" in results and len(results["gt_bboxes"]):
+            results["gt_bboxes"] = results["gt_bboxes"] + shift4
+        if "gt_masks" in results:
+            shift = np.array([left, top], np.float32)
+            results["gt_masks"] = [[p + shift for p in inst]
+                                   for inst in results["gt_masks"]]
+        return results
+
+
+@PIPELINES.register_module()
+class MinIoURandomCrop:
+    """Crop keeping at least ``min_ious`` overlap with some GT boxes
+    (reference: ``transforms.py`` MinIoURandomCrop — SSD-style zoom-in)."""
+
+    def __init__(self, min_ious=(0.1, 0.3, 0.5, 0.7, 0.9), min_crop_size=0.3):
+        self.min_ious = (1,) + tuple(min_ious) + (0,)
+        self.min_crop_size = min_crop_size
+
+    def __call__(self, results):
+        rng = results.setdefault("_rng", np.random.RandomState())
+        h, w = results["img_shape"][:2]
+        boxes = results.get("gt_bboxes", np.zeros((0, 4), np.float32))
+        for _ in range(50):
+            min_iou = self.min_ious[rng.randint(len(self.min_ious))]
+            if min_iou == 1:
+                return results
+            cw = int(rng.uniform(self.min_crop_size * w, w))
+            ch = int(rng.uniform(self.min_crop_size * h, h))
+            if ch / max(cw, 1) < 0.5 or ch / max(cw, 1) > 2:
+                continue
+            left = rng.randint(0, w - cw + 1)
+            top = rng.randint(0, h - ch + 1)
+            patch = np.array([left, top, left + cw, top + ch], np.float32)
+            if len(boxes):
+                lt = np.maximum(boxes[:, :2], patch[:2])
+                rb = np.minimum(boxes[:, 2:], patch[2:])
+                wh = np.clip(rb - lt, 0, None)
+                inter = wh[:, 0] * wh[:, 1]
+                area = ((boxes[:, 2] - boxes[:, 0])
+                        * (boxes[:, 3] - boxes[:, 1]))
+                iof = inter / np.maximum(area, 1e-6)
+                if iof.max() < min_iou:
+                    continue
+                ctr = (boxes[:, :2] + boxes[:, 2:]) / 2
+                keep = ((ctr[:, 0] > patch[0]) & (ctr[:, 0] < patch[2])
+                        & (ctr[:, 1] > patch[1]) & (ctr[:, 1] < patch[3]))
+                if not keep.any():
+                    continue
+            crop = RandomCrop((ch, cw))
+            # deterministic placement via a pinned rng
+            sub = dict(results)
+            sub["_rng"] = _FixedCrop(left, top)
+            out = crop(sub)
+            if out is not None:
+                out["_rng"] = rng
+                return out
+        return results
+
+
+class _FixedCrop:
+    """rng stub that pins RandomCrop's placement."""
+
+    def __init__(self, x0, y0):
+        self.vals = [y0, x0]
+
+    def randint(self, lo, hi=None):
+        return self.vals.pop(0) if self.vals else 0
+
+
+@PIPELINES.register_module()
 class PhotoMetricDistortion:
     """Brightness/contrast/saturation jitter (reference:
     ``transforms.py`` PhotoMetricDistortion, simplified HSV path)."""

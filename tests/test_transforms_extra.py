@@ -1,0 +1,75 @@
+import numpy as np
+
+from bonai_tpu.datasets.pipelines.transforms import (
+    Expand, MinIoURandomCrop, RandomCrop, PhotoMetricDistortion,
+    OffsetTransform)
+
+
+def _sample(n=3, size=64, seed=0):
+    rng = np.random.RandomState(seed)
+    boxes = []
+    masks = []
+    for _ in range(n):
+        x1, y1 = rng.uniform(5, 30, 2)
+        w, h = rng.uniform(10, 20, 2)
+        boxes.append([x1, y1, x1 + w, y1 + h])
+        masks.append([np.array([[x1, y1], [x1 + w, y1], [x1 + w, y1 + h],
+                                [x1, y1 + h]], np.float32)])
+    return dict(img=rng.randint(0, 255, (size, size, 3), np.uint8)
+                .astype(np.float32),
+                img_shape=(size, size),
+                gt_bboxes=np.asarray(boxes, np.float32),
+                gt_labels=np.zeros(n, np.int64),
+                gt_offsets=rng.uniform(-5, 5, (n, 2)).astype(np.float32),
+                gt_masks=masks,
+                _rng=np.random.RandomState(seed + 1))
+
+
+def test_expand_keeps_geometry():
+    s = _sample()
+    before = s["gt_bboxes"].copy()
+    out = Expand(prob=1.0, ratio_range=(2, 2))(s)
+    assert out["img_shape"] == (128, 128)
+    wh_before = before[:, 2:] - before[:, :2]
+    wh_after = out["gt_bboxes"][:, 2:] - out["gt_bboxes"][:, :2]
+    # pure translation (fp32 ulp slack for x+shift rounding)
+    np.testing.assert_allclose(wh_after, wh_before, atol=1e-3)
+    # polygons stay inside boxes
+    for box, inst in zip(out["gt_bboxes"], out["gt_masks"]):
+        for p in inst:
+            assert p[:, 0].min() >= box[0] - 1e-3
+
+
+def test_random_crop_drops_outside_boxes():
+    s = _sample(size=64)
+    out = RandomCrop((32, 32))(s)
+    if out is None:     # all boxes cropped away — valid outcome
+        return
+    n = len(out["gt_bboxes"])
+    assert len(out["gt_masks"]) == n
+    assert len(out["gt_offsets"]) == n
+    assert out["img"].shape[:2] == (32, 32)
+    assert (out["gt_bboxes"] >= 0).all()
+    assert (out["gt_bboxes"][:, 0::2] <= 32).all()
+
+
+def test_min_iou_random_crop_keeps_some_gt():
+    s = _sample(size=64, seed=3)
+    out = MinIoURandomCrop()(s)
+    assert out is not None
+    assert len(out["gt_bboxes"]) >= 1
+
+
+def test_photometric_shapes():
+    s = _sample()
+    out = PhotoMetricDistortion()(s)
+    assert out["img"].shape == (64, 64, 3)
+    assert np.isfinite(out["img"]).all()
+
+
+def test_offset_transform_roundtrip():
+    s = _sample()
+    orig = s["gt_offsets"].copy()
+    s = OffsetTransform("xy2la")(s)
+    s = OffsetTransform("la2xy")(s)
+    np.testing.assert_allclose(s["gt_offsets"], orig, atol=1e-4)
