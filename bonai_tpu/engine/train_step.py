@@ -19,9 +19,21 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 try:
-    from jax import shard_map
+    from jax import shard_map as _shard_map_impl
 except ImportError:                      # older jax
-    from jax.experimental.shard_map import shard_map
+    from jax.experimental.shard_map import shard_map as _shard_map_impl
+
+
+def shard_map(f, mesh, in_specs, out_specs):
+    """API-compat wrapper: replication checking kwarg was renamed/removed
+    across jax versions (check_rep -> check_vma -> gone)."""
+    for kwargs in (dict(check_vma=False), dict(check_rep=False), {}):
+        try:
+            return _shard_map_impl(f, mesh=mesh, in_specs=in_specs,
+                                   out_specs=out_specs, **kwargs)
+        except TypeError:
+            continue
+    raise TypeError("no compatible shard_map signature found")
 
 from .train_state import TrainState
 
@@ -69,8 +81,7 @@ def make_train_step(model, tx, mesh=None, axis_name="data", donate=True,
     mapped = shard_map(
         local_step, mesh=mesh,
         in_specs=(P(), P(axis_name), P()),
-        out_specs=(P(), P()),
-        check_rep=False)
+        out_specs=(P(), P()))
     return jax.jit(mapped, donate_argnums=(0,) if donate else ())
 
 
@@ -87,7 +98,7 @@ def make_eval_step(model, mesh=None, axis_name="data"):
     mapped = shard_map(local_eval, mesh=mesh,
                        in_specs=(P(), P(axis_name), P(axis_name),
                                  P(axis_name)),
-                       out_specs=P(axis_name), check_rep=False)
+                       out_specs=P(axis_name))
     return jax.jit(mapped)
 
 
