@@ -2,8 +2,9 @@ from .transforms import (PIPELINES, Compose, LoadImageFromFile,
                          LoadAnnotations, Resize, RandomFlip, RandomRotate,
                          Normalize, Pad, DefaultFormatBundle, Collect,
                          MultiScaleFlipAug, build_pipeline)
+from .corrupt import Corrupt, corrupt_image
 
 __all__ = ["PIPELINES", "Compose", "LoadImageFromFile", "LoadAnnotations",
            "Resize", "RandomFlip", "RandomRotate", "Normalize", "Pad",
            "DefaultFormatBundle", "Collect", "MultiScaleFlipAug",
-           "build_pipeline"]
+           "build_pipeline", "Corrupt", "corrupt_image"]

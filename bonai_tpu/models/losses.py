@@ -170,6 +170,63 @@ def iou_loss_terms(pred, target, eps=1e-7):
 
 
 @LOSSES.register_module()
+class BalancedL1Loss:
+    """Libra R-CNN balanced L1 (reference:
+    ``mmdet/models/losses/balanced_l1_loss.py``)."""
+
+    def __init__(self, alpha=0.5, gamma=1.5, beta=1.0, reduction="mean",
+                 loss_weight=1.0):
+        self.alpha = alpha
+        self.gamma = gamma
+        self.beta = beta
+        self.reduction = reduction
+        self.loss_weight = loss_weight
+
+    def __call__(self, pred, target, weight=None, avg_factor=None):
+        import numpy as _np
+        diff = jnp.abs(pred - target)
+        b = _np.e ** (self.gamma / self.alpha) - 1
+        loss = jnp.where(
+            diff < self.beta,
+            self.alpha / b * (b * diff + 1)
+            * jnp.log(b * diff / self.beta + 1) - self.alpha * diff,
+            self.gamma * diff + self.gamma / b - self.alpha * self.beta)
+        return self.loss_weight * weight_reduce_loss(
+            loss, weight, self.reduction, avg_factor)
+
+
+@LOSSES.register_module()
+class GHMC:
+    """Gradient-harmonizing classification loss (reference:
+    ``mmdet/models/losses/ghm_loss.py``) — sigmoid BCE reweighted by the
+    inverse gradient-norm density, computed statically per batch."""
+
+    def __init__(self, bins=10, momentum=0.0, use_sigmoid=True,
+                 loss_weight=1.0):
+        assert use_sigmoid
+        self.bins = bins
+        self.loss_weight = loss_weight
+
+    def __call__(self, pred, target, weight=None, avg_factor=None):
+        target = target.astype(pred.dtype)
+        valid = (jnp.ones_like(target) if weight is None
+                 else (weight > 0).astype(pred.dtype))
+        g = jnp.abs(jax.nn.sigmoid(pred) - target)
+        tot = jnp.maximum(jnp.sum(valid), 1.0)
+        edges = jnp.linspace(0, 1, self.bins + 1)
+        w = jnp.zeros_like(pred)
+        for i in range(self.bins):
+            inds = ((g >= edges[i]) & (g < edges[i + 1] + (1e-6 if
+                    i == self.bins - 1 else 0.0))) & (valid > 0)
+            num_in_bin = jnp.sum(inds)
+            bin_w = jnp.where(num_in_bin > 0, tot / jnp.maximum(
+                num_in_bin, 1.0), 0.0)
+            w = jnp.where(inds, bin_w, w)
+        loss = binary_cross_entropy(pred, target, w, reduction="sum")
+        return self.loss_weight * loss / tot
+
+
+@LOSSES.register_module()
 class IoULoss:
     def __init__(self, eps=1e-6, reduction="mean", loss_weight=1.0,
                  linear=False):

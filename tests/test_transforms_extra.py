@@ -73,3 +73,33 @@ def test_offset_transform_roundtrip():
     s = OffsetTransform("xy2la")(s)
     s = OffsetTransform("la2xy")(s)
     np.testing.assert_allclose(s["gt_offsets"], orig, atol=1e-4)
+
+
+def test_corruptions_run():
+    from bonai_tpu.datasets.pipelines.corrupt import corrupt_image, _SEV
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 255, (32, 32, 3), np.uint8)
+    for c in _SEV:
+        out = corrupt_image(img, c, severity=3, rng=rng)
+        assert out.shape == img.shape, c
+        assert np.isfinite(out.astype(np.float64)).all(), c
+    # severity monotonicity for noise
+    d1 = np.abs(corrupt_image(img, "gaussian_noise", 1,
+                              np.random.RandomState(1)).astype(int)
+                - img.astype(int)).mean()
+    d5 = np.abs(corrupt_image(img, "gaussian_noise", 5,
+                              np.random.RandomState(1)).astype(int)
+                - img.astype(int)).mean()
+    assert d5 > d1
+
+
+def test_loss_family_extras():
+    import jax.numpy as jnp
+    from bonai_tpu.models.losses import BalancedL1Loss, GHMC
+    p = jnp.asarray([[0.5, -1.0], [2.0, 0.1]])
+    t = jnp.zeros((2, 2))
+    bl = BalancedL1Loss()(p, t)
+    assert np.isfinite(float(bl)) and float(bl) > 0
+    assert abs(float(BalancedL1Loss()(t, t))) < 1e-6
+    g = GHMC()(p, t, weight=jnp.ones((2, 2)))
+    assert np.isfinite(float(g)) and float(g) > 0
