@@ -101,26 +101,44 @@ class TwoStageDetector(nn.Module):
         dt = _dtype(self.compute_dtype)
         bk = dict(self.backbone)
         bk_type = bk.pop("type", "ResNet")
-        assert bk_type in ("ResNet", "ResNeXt"), \
-            f"unsupported backbone {bk_type}"
-        self.backbone_m = ResNet(
-            depth=bk.get("depth", 50),
-            num_stages=bk.get("num_stages", 4),
-            out_indices=tuple(bk.get("out_indices", (0, 1, 2, 3))),
-            frozen_stages=bk.get("frozen_stages", -1),
-            norm_eval=bk.get("norm_eval", True),
-            style=bk.get("style", "pytorch"),
-            groups=bk.get("groups", 1),
-            base_width=bk.get("base_width", 4),
-            dtype=dt, name="backbone")
+        if bk_type == "HRNet":
+            from ..backbones.hrnet import HRNet
+            self.backbone_m = HRNet(
+                extra=bk.get("extra"),
+                frozen_stages=bk.get("frozen_stages", -1),
+                norm_eval=bk.get("norm_eval", True),
+                dtype=dt, name="backbone")
+        else:
+            assert bk_type in ("ResNet", "ResNeXt"), \
+                f"unsupported backbone {bk_type}"
+            self.backbone_m = ResNet(
+                depth=bk.get("depth", 50),
+                num_stages=bk.get("num_stages", 4),
+                out_indices=tuple(bk.get("out_indices", (0, 1, 2, 3))),
+                frozen_stages=bk.get("frozen_stages", -1),
+                norm_eval=bk.get("norm_eval", True),
+                style=bk.get("style", "pytorch"),
+                groups=bk.get("groups", 1),
+                base_width=bk.get("base_width", 4),
+                dtype=dt, name="backbone")
         nk = dict(self.neck)
-        assert nk.pop("type", "FPN") == "FPN"
-        self.neck_m = FPN(
-            in_channels=tuple(nk.get("in_channels", (256, 512, 1024, 2048))),
-            out_channels=nk.get("out_channels", 256),
-            num_outs=nk.get("num_outs", 5),
-            add_extra_convs=bool(nk.get("add_extra_convs", False)),
-            dtype=dt, name="neck")
+        nk_type = nk.pop("type", "FPN")
+        if nk_type == "HRFPN":
+            from ..necks.hrfpn import HRFPN
+            self.neck_m = HRFPN(
+                in_channels=tuple(nk.get("in_channels", (32, 64, 128, 256))),
+                out_channels=nk.get("out_channels", 256),
+                num_outs=nk.get("num_outs", 5),
+                dtype=dt, name="neck")
+        else:
+            assert nk_type == "FPN", f"unsupported neck {nk_type}"
+            self.neck_m = FPN(
+                in_channels=tuple(nk.get("in_channels",
+                                         (256, 512, 1024, 2048))),
+                out_channels=nk.get("out_channels", 256),
+                num_outs=nk.get("num_outs", 5),
+                add_extra_convs=bool(nk.get("add_extra_convs", False)),
+                dtype=dt, name="neck")
         rh = dict(self.rpn_head)
         ag_cfg = dict(rh.get("anchor_generator", {}))
         ag_cfg.pop("type", None)

@@ -66,3 +66,26 @@ def test_fpn_values_topdown():
     outs, _ = m.init_with_output(jax.random.PRNGKey(0), ins)
     assert outs[0].shape == (1, 8, 8, 4)
     assert np.isfinite(np.asarray(outs[0])).all()
+
+
+def test_hrnet_w32_structure():
+    from bonai_tpu.models.backbones.hrnet import HRNet
+    m = HRNet(frozen_stages=1)
+    outs, v = jax.eval_shape(
+        lambda r, x: m.init_with_output(r, x),
+        jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)))
+    assert len(outs) == 4
+    assert [o.shape[1] for o in outs] == [32, 16, 8, 4]
+    assert [o.shape[-1] for o in outs] == [32, 64, 128, 256]
+
+
+def test_hrfpn_levels():
+    from bonai_tpu.models.necks.hrfpn import HRFPN
+    m = HRFPN(num_outs=5)
+    ins = tuple(jnp.zeros((1, 32 // (2 ** i), 32 // (2 ** i), c))
+                for i, c in enumerate((32, 64, 128, 256)))
+    outs, _ = jax.eval_shape(
+        lambda r, x: m.init_with_output(r, x), jax.random.PRNGKey(0), ins)
+    assert len(outs) == 5
+    assert [o.shape[1] for o in outs] == [32, 16, 8, 4, 2]
+    assert all(o.shape[-1] == 256 for o in outs)
