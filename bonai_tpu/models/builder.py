@@ -26,9 +26,10 @@ def _plain(obj):
 def build_detector(cfg, train_cfg=None, test_cfg=None, compute_dtype=None):
     from .detectors import FasterRCNN, MaskRCNN, LOFT, TwoStageDetector
     from .detectors.single_stage import RetinaNet
+    from .detectors.cascade_rcnn import CascadeRCNN
     registry = {"FasterRCNN": FasterRCNN, "MaskRCNN": MaskRCNN,
                 "LOFT": LOFT, "TwoStageDetector": TwoStageDetector,
-                "RetinaNet": RetinaNet}
+                "RetinaNet": RetinaNet, "CascadeRCNN": CascadeRCNN}
     registry.update(DETECTORS.module_dict)
     cfg = _plain(dict(cfg))
     det_type = cfg.pop("type")
