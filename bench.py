@@ -23,7 +23,27 @@ import numpy as np
 BASELINE_IMG_PER_SEC = 3.5
 
 
+def _check_devices(timeout_s=240):
+    """The tunneled TPU platform can wedge (stale claim); fail fast with a
+    diagnostic instead of hanging the driver indefinitely."""
+    import threading
+    ok = []
+
+    def probe():
+        import jax
+        ok.append(jax.devices())
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not ok:
+        print("bench: device init did not complete within "
+              f"{timeout_s}s (TPU tunnel wedged?)", file=sys.stderr)
+        sys.exit(2)
+
+
 def main():
+    _check_devices()
     import jax
     import jax.numpy as jnp
     sys.path.insert(0, ".")
