@@ -37,6 +37,7 @@ class BONAI(CocoDataset):
         roof_masks, footprint_masks = [], []
         offsets, heights, angles = [], [], []
         footprint_bboxes = []
+        only_footprint_flag = 0
         for ann in ann_info:
             if ann.get("ignore", False):
                 continue
@@ -72,6 +73,8 @@ class BONAI(CocoDataset):
             if "footprint_bbox" in ann:
                 fx, fy, fw, fh = ann["footprint_bbox"]
                 footprint_bboxes.append([fx, fy, fx + fw, fy + fh])
+            if ann.get("only_footprint", 0) == 1:
+                only_footprint_flag = 1
             if "offset" in ann:
                 ox, oy = ann["offset"]
                 if self.offset_coordinate == "rectangle":
@@ -99,4 +102,5 @@ class BONAI(CocoDataset):
             offsets=np.asarray(offsets, np.float32).reshape(-1, 2),
             building_heights=np.asarray(heights, np.float32),
             angle=mean_angle,
+            only_footprint_flag=float(only_footprint_flag),
         )

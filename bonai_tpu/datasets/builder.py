@@ -129,6 +129,15 @@ def pack_sample(result, max_gt, inst_mask_size, train=True):
                 polys[i], boxes[i], inst_mask_size)
     out.update(gt_bboxes=gt_bboxes, gt_labels=gt_labels, gt_valid=gt_valid,
                gt_offsets=gt_offsets, gt_masks=gt_masks)
+    if "gt_footprint_bboxes" in result:
+        fp = np.zeros((max_gt, 4), np.float32)
+        fb = result["gt_footprint_bboxes"]
+        k = min(len(fb), max_gt)
+        fp[:k] = fb[:k]
+        out["gt_footprint_bboxes"] = fp
+    if "gt_only_footprint_flag" in result:
+        out["gt_only_footprint_flag"] = np.float32(
+            result["gt_only_footprint_flag"])
     return out, result.get("img_metas", {})
 
 

@@ -69,13 +69,17 @@ class LoadAnnotations:
 
     def __init__(self, with_bbox=True, with_label=True, with_mask=False,
                  with_offset=False, with_building_height=False,
-                 with_angle=False, with_seg=False, **kwargs):
+                 with_angle=False, with_seg=False,
+                 with_footprint_bbox=False,
+                 with_only_footprint_flag=False, **kwargs):
         self.with_bbox = with_bbox
         self.with_label = with_label
         self.with_mask = with_mask
         self.with_offset = with_offset
         self.with_building_height = with_building_height
         self.with_angle = with_angle
+        self.with_footprint_bbox = with_footprint_bbox
+        self.with_only_footprint_flag = with_only_footprint_flag
 
     @staticmethod
     def _polys(segmentation):
@@ -116,6 +120,13 @@ class LoadAnnotations:
                 ann.get("building_heights", []), np.float32)
         if self.with_angle:
             results["gt_angle"] = np.float32(ann.get("angle", 0.0))
+        if self.with_footprint_bbox:
+            results["gt_footprint_bboxes"] = np.asarray(
+                ann.get("footprint_bboxes", np.zeros((0, 4))),
+                np.float32).reshape(-1, 4)
+        if self.with_only_footprint_flag:
+            results["gt_only_footprint_flag"] = np.float32(
+                ann.get("only_footprint_flag", 0.0))
         return results
 
 
@@ -149,11 +160,12 @@ class Resize:
         results["img_shape"] = (new_h, new_w)
         results["scale_factor"] = np.array(
             [w_scale, h_scale, w_scale, h_scale], np.float32)
-        if "gt_bboxes" in results and len(results["gt_bboxes"]):
-            b = results["gt_bboxes"] * results["scale_factor"]
-            b[:, 0::2] = b[:, 0::2].clip(0, new_w)
-            b[:, 1::2] = b[:, 1::2].clip(0, new_h)
-            results["gt_bboxes"] = b
+        for key in ("gt_bboxes", "gt_footprint_bboxes"):
+            if key in results and len(results[key]):
+                b = results[key] * results["scale_factor"]
+                b[:, 0::2] = b[:, 0::2].clip(0, new_w)
+                b[:, 1::2] = b[:, 1::2].clip(0, new_h)
+                results[key] = b
         if "gt_masks" in results:
             results["gt_masks"] = [
                 [p * np.array([w_scale, h_scale], np.float32) for p in inst]
@@ -191,15 +203,16 @@ class RandomFlip:
             results["img"] = results["img"][:, ::-1]
         else:
             results["img"] = results["img"][::-1]
-        if "gt_bboxes" in results and len(results["gt_bboxes"]):
-            b = results["gt_bboxes"].copy()
-            if direction == "horizontal":
-                b[:, 0], b[:, 2] = w - results["gt_bboxes"][:, 2], \
-                    w - results["gt_bboxes"][:, 0]
-            else:
-                b[:, 1], b[:, 3] = h - results["gt_bboxes"][:, 3], \
-                    h - results["gt_bboxes"][:, 1]
-            results["gt_bboxes"] = b
+        for key in ("gt_bboxes", "gt_footprint_bboxes"):
+            if key in results and len(results[key]):
+                b = results[key].copy()
+                if direction == "horizontal":
+                    b[:, 0], b[:, 2] = results[key][:, 2] * -1 + w, \
+                        results[key][:, 0] * -1 + w
+                else:
+                    b[:, 1], b[:, 3] = results[key][:, 3] * -1 + h, \
+                        results[key][:, 1] * -1 + h
+                results[key] = b
         if "gt_masks" in results:
             flipped = []
             for inst in results["gt_masks"]:
@@ -554,7 +567,9 @@ class Collect:
         # scale_factor, flip directly)
         for m in self.meta_keys:
             out.setdefault(m, results.get(m))
-        for k in ("gt_bboxes", "gt_labels", "gt_masks", "gt_offsets"):
+        for k in ("gt_bboxes", "gt_labels", "gt_masks", "gt_offsets",
+                  "gt_footprint_bboxes", "gt_only_footprint_flag",
+                  "gt_building_heights", "gt_angle"):
             if k in results and k not in out:
                 out[k] = results[k]
         out["img"] = results["img"]

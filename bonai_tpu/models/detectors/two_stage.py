@@ -140,6 +140,9 @@ class TwoStageDetector(nn.Module):
                 add_extra_convs=bool(nk.get("add_extra_convs", False)),
                 dtype=dt, name="neck")
         rh = dict(self.rpn_head)
+        # SemiRPNHead (reference mmdet/models/dense_heads/semi_rpn_head.py):
+        # footprint-only images supervise the RPN with footprint boxes
+        self.semi_rpn = rh.get("type", "RPNHead") == "SemiRPNHead"
         ag_cfg = dict(rh.get("anchor_generator", {}))
         ag_cfg.pop("type", None)
         self.anchor_generator = AnchorGenerator(**ag_cfg)
@@ -257,7 +260,13 @@ class TwoStageDetector(nn.Module):
          prop_valid) = self._rpn_and_proposals(feats, img_shape, proposal_cfg)
 
         anchors_flat = jnp.concatenate(anchors_levels, axis=0)
-        losses = rpn_loss(cls_scores, bbox_preds, anchors_flat, gt_bboxes,
+        rpn_gt = gt_bboxes
+        if self.semi_rpn and "gt_footprint_bboxes" in batch:
+            flag = batch.get("gt_only_footprint_flag",
+                             jnp.zeros(gt_bboxes.shape[0]))
+            rpn_gt = jnp.where(flag[:, None, None] > 0.5,
+                               batch["gt_footprint_bboxes"], gt_bboxes)
+        losses = rpn_loss(cls_scores, bbox_preds, anchors_flat, rpn_gt,
                           gt_valid, rng_rpn, dict(self.train_cfg["rpn"]))
 
         proposals = jax.lax.stop_gradient(proposals)

@@ -188,6 +188,24 @@ def roi_align(features, rois, output_size, spatial_scale=1.0,
     return jnp.mean(vals, axis=(2, 4))
 
 
+def generic_roi_align(features, rois, output_size, featmap_strides,
+                      sampling_ratio=2, aligned=True, roi_valid=None,
+                      aggregation="sum"):
+    """All-level RoI extraction (reference ``GenericRoIExtractor``,
+    ``mmdet/models/roi_heads/roi_extractors/generic_roi_extractor.py``):
+    every RoI is pooled from EVERY level and the results are fused."""
+    outs = []
+    for feat, stride in zip(features, featmap_strides):
+        out = roi_align(feat, rois, output_size, 1.0 / stride,
+                        sampling_ratio, aligned)
+        outs.append(out)
+    fused = sum(outs) if aggregation == "sum" else \
+        jnp.concatenate(outs, axis=-1)
+    if roi_valid is not None:
+        fused = fused * roi_valid[:, None, None, None].astype(fused.dtype)
+    return fused
+
+
 def map_roi_levels(rois_xyxy, num_levels, finest_scale=56):
     """FPN level per RoI (reference:
     ``single_level_roi_extractor.py:32-52``):

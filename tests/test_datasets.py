@@ -131,3 +131,33 @@ def test_mask_iou():
     ra, rb = mask_utils.encode_mask(a), mask_utils.encode_mask(b)
     iou = mask_utils.mask_iou([ra], [rb])[0, 0]
     assert abs(iou - 30 / 70) < 1e-6
+
+
+def test_semi_supervised_plumbing(tmp_path):
+    """only_footprint flag + footprint bboxes flow through pipeline/pack."""
+    import json
+    json_path, img_dir = make_bonai_dataset(str(tmp_path), num_images=2)
+    with open(json_path) as f:
+        data = json.load(f)
+    for ann in data["annotations"]:
+        if ann["image_id"] == 1:
+            ann["only_footprint"] = 1
+    with open(json_path, "w") as f:
+        json.dump(data, f)
+    pipeline = [dict(t) for t in TRAIN_PIPELINE]
+    pipeline[1] = dict(type="LoadAnnotations", with_bbox=True,
+                       with_mask=True, with_offset=True,
+                       with_footprint_bbox=True,
+                       with_only_footprint_flag=True)
+    ds = BONAI(ann_file=json_path, pipeline=pipeline, img_prefix=img_dir,
+               bbox_type="building", mask_type="roof")
+    r0 = ds.prepare(0, np.random.RandomState(0))
+    r1 = ds.prepare(1, np.random.RandomState(0))
+    assert r0["gt_only_footprint_flag"] == 0.0
+    assert r1["gt_only_footprint_flag"] == 1.0
+    assert r1["gt_footprint_bboxes"].shape[1] == 4
+    s, _ = pack_sample(r1, max_gt=16, inst_mask_size=32)
+    assert s["gt_footprint_bboxes"].shape == (16, 4)
+    assert s["gt_only_footprint_flag"] == 1.0
+    # footprint boxes transformed consistently with building boxes
+    assert (s["gt_footprint_bboxes"][:6, 2] > s["gt_footprint_bboxes"][:6, 0]).all()
