@@ -129,6 +129,7 @@ class ResNet(nn.Module):
     (reference ``mmdet/models/backbones/resnext.py``)."""
     depth: int = 50
     num_stages: int = 4
+    base_channels: int = 64   # reference ``base_channels`` (stem width)
     out_indices: Sequence[int] = (0, 1, 2, 3)
     frozen_stages: int = 1
     norm_eval: bool = True      # kept for config parity; BN is always frozen
@@ -142,7 +143,7 @@ class ResNet(nn.Module):
         block_name, stage_blocks = ARCH_SETTINGS[self.depth]
         block_cls = Bottleneck if block_name == "bottleneck" else BasicBlock
         x = x.astype(self.dtype)
-        x = conv(64, 7, 2, 3, "conv1", self.dtype)(x)
+        x = conv(self.base_channels, 7, 2, 3, "conv1", self.dtype)(x)
         x = FrozenBatchNorm(dtype=self.dtype, name="bn1")(x)
         x = nn.relu(x)
         # torch MaxPool2d(3, 2, padding=1)
@@ -153,7 +154,7 @@ class ResNet(nn.Module):
             x = jax.lax.stop_gradient(x)
 
         outs = []
-        planes = 64
+        planes = self.base_channels
         for stage in range(self.num_stages):
             num_blocks = stage_blocks[stage]
             stride = 1 if stage == 0 else 2

@@ -114,6 +114,7 @@ class TwoStageDetector(nn.Module):
             self.backbone_m = ResNet(
                 depth=bk.get("depth", 50),
                 num_stages=bk.get("num_stages", 4),
+                base_channels=bk.get("base_channels", 64),
                 out_indices=tuple(bk.get("out_indices", (0, 1, 2, 3))),
                 frozen_stages=bk.get("frozen_stages", -1),
                 norm_eval=bk.get("norm_eval", True),
