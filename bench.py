@@ -15,38 +15,54 @@ Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
 BASELINE_IMG_PER_SEC = 3.5
+REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 
 
-def _check_devices(timeout_s=240):
-    """The tunneled TPU platform can wedge (stale claim); fail fast with a
-    diagnostic instead of hanging the driver indefinitely."""
-    import threading
-    ok = []
-
-    def probe():
-        import jax
-        ok.append(jax.devices())
-
-    t = threading.Thread(target=probe, daemon=True)
-    t.start()
-    t.join(timeout_s)
-    if not ok:
-        print("bench: device init did not complete within "
-              f"{timeout_s}s (TPU tunnel wedged?)", file=sys.stderr)
-        sys.exit(2)
+def _check_devices(attempts=(240, 300, 360), pause_s=30):
+    """The tunneled TPU platform can wedge (stale claim held by a killed
+    process); a fresh process re-attempts the claim and the stale one
+    expires after a few minutes.  So: probe ``jax.devices()`` in a child
+    process with a timeout, and retry with backoff instead of giving up on
+    the first hang (round-1 failure mode: single 240s probe, rc=2, no
+    bench number captured)."""
+    probe = ("import jax; d = jax.devices(); "
+             "print('devices:', [str(x) for x in d])")
+    for i, timeout_s in enumerate(attempts):
+        try:
+            r = subprocess.run([sys.executable, "-c", probe],
+                               timeout=timeout_s, capture_output=True,
+                               text=True)
+            if r.returncode == 0:
+                if i:
+                    print(f"bench: device init ok on attempt {i + 1}",
+                          file=sys.stderr)
+                return
+            print(f"bench: device probe attempt {i + 1} exited "
+                  f"rc={r.returncode}: {r.stderr.strip()[-400:]}",
+                  file=sys.stderr)
+        except subprocess.TimeoutExpired:
+            print(f"bench: device probe attempt {i + 1} hung >"
+                  f"{timeout_s}s (TPU tunnel wedged?), retrying",
+                  file=sys.stderr)
+        time.sleep(pause_s)
+    print("bench: device init failed after "
+          f"{len(attempts)} attempts", file=sys.stderr)
+    sys.exit(2)
 
 
 def main():
     _check_devices()
     import jax
     import jax.numpy as jnp
-    sys.path.insert(0, ".")
+    sys.path.insert(0, REPO_DIR)
     from __graft_entry__ import _loft_model
     from bonai_tpu.engine import (build_optimizer, build_lr_schedule,
                                   create_train_state, make_train_step)

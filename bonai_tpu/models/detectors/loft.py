@@ -102,10 +102,12 @@ class LOFT(TwoStageDetector):
         return {"loss_offset": self._offset_loss(pred, targets, w)}
 
     def _extra_simple_test(self, feats, det_boxes, det_valid, img_shape,
-                           flat_pack=None):
+                           scale_factor, flat_pack=None):
         """reference: ``test_mixins.py:213-241`` + ``offset_fusion`` +
-        ``DeltaXYOffsetCoder.decode`` (max_shape = img_shape)."""
-        b = det_boxes.shape[0]
+        ``DeltaXYOffsetCoder.decode`` (max_shape = img_shape); with
+        ``rescale=True`` the offsets are mapped back to original-image
+        pixels alongside the boxes (÷ scale_factor)."""
+        b, p = det_boxes.shape[:2]
         rois, roi_valid = boxes_to_rois(det_boxes, det_valid)
         ofeats = self._roi_align_cfg(self.offset_extractor_cfg, feats, rois,
                                      roi_valid, flat_pack=flat_pack)
@@ -114,7 +116,11 @@ class LOFT(TwoStageDetector):
             fused = foa_offset_fusion(pred, self.offset_head_m.rotations)
         else:
             fused = pred
+        img_shape = jnp.asarray(img_shape)
+        hs = jnp.repeat(img_shape[:, 0], p)
+        ws = jnp.repeat(img_shape[:, 1], p)
         offsets = delta2offset(rois[:, 1:5], fused, self.offset_coder_means,
-                               self.offset_coder_stds,
-                               max_shape=(1024, 1024))
-        return {"offsets": offsets.reshape(b, -1, 2)}
+                               self.offset_coder_stds, max_shape=(hs, ws))
+        offsets = offsets.reshape(b, p, 2)
+        return {"offsets":
+                offsets / jnp.asarray(scale_factor)[:, None, None]}

@@ -421,11 +421,12 @@ class TwoStageDetector(nn.Module):
             out["mask_probs"] = probs.reshape(
                 b, -1, *mask_logits.shape[1:3])
         out.update(self._extra_simple_test(feats, det_boxes, det_valid,
-                                           img_shape, flat_pack))
+                                           img_shape, scale_factor,
+                                           flat_pack))
         return out
 
     def _extra_simple_test(self, feats, det_boxes, det_valid, img_shape,
-                           flat_pack=None):
+                           scale_factor, flat_pack=None):
         return {}
 
 

@@ -173,6 +173,33 @@ def test_loft_simple_test_shapes(tiny_loft_run):
     assert out["det_valid"].dtype == jnp.bool_
 
 
+def test_loft_simple_test_rescale_contract(tiny_loft_run):
+    """Offsets follow the boxes through rescale (reference
+    ``rescale=True`` contract, test_mixins.py:213-241) and the decode
+    clamp uses the true img_shape, not a hardcoded 1024."""
+    model, variables = tiny_loft_run[:2]
+    r = np.random.RandomState(7)
+    img = jnp.asarray(r.randn(1, 128, 128, 3), jnp.float32)
+    shape = jnp.full((1, 2), 128.0)
+    out1 = model.apply(variables, img, shape, jnp.ones((1,)),
+                       method="simple_test")
+    out2 = model.apply(variables, img, shape, jnp.full((1,), 2.0),
+                       method="simple_test")
+    # same device-space detections, only the rescale divisor differs
+    np.testing.assert_allclose(np.asarray(out2["det_bboxes"]) * 2.0,
+                               np.asarray(out1["det_bboxes"]),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out2["offsets"]) * 2.0,
+                               np.asarray(out1["offsets"]),
+                               rtol=1e-5, atol=1e-4)
+    # decode clamp bound comes from img_shape: |gx| <= w, |gy| <= h
+    tiny = jnp.full((1, 2), 4.0)
+    out3 = model.apply(variables, img, tiny, jnp.ones((1,)),
+                       method="simple_test")
+    off = np.asarray(out3["offsets"])[np.asarray(out3["det_valid"])]
+    assert np.all(np.abs(off) <= 4.0 + 1e-4)
+
+
 def test_real_bonai_config_param_structure():
     """eval_shape-init of the shipped LOFT+FOA config: structure + count."""
     import os
