@@ -59,15 +59,22 @@ def build_dataset(cfg, default_args=None):
     _register_defaults()
     cfg = dict(cfg)
     ann_file = cfg.get("ann_file")
-    img_prefix = cfg.get("img_prefix", "")
     if isinstance(ann_file, (list, tuple)):
-        prefixes = (img_prefix if isinstance(img_prefix, (list, tuple))
-                    else [img_prefix] * len(ann_file))
+        # per-city prefix plumbing (reference builder.py:26-55): each
+        # prefix kind may be a matching list or a shared scalar
+        n = len(ann_file)
+        kinds = ("img_prefix", "seg_prefix", "edge_prefix",
+                 "side_face_prefix", "offset_field_prefix")
         parts = []
-        for af, pref in zip(ann_file, prefixes):
+        for i, af in enumerate(ann_file):
             sub = dict(cfg)
             sub["ann_file"] = af
-            sub["img_prefix"] = pref
+            for kind in kinds:
+                val = cfg.get(kind)
+                if isinstance(val, (list, tuple)):
+                    assert len(val) == n, \
+                        f"{kind} list must match ann_file list length"
+                    sub[kind] = val[i]
             parts.append(build_from_cfg(sub, DATASETS, default_args))
         return ConcatDataset(parts) if len(parts) > 1 else parts[0]
     return build_from_cfg(cfg, DATASETS, default_args)
@@ -138,6 +145,19 @@ def pack_sample(result, max_gt, inst_mask_size, train=True):
     if "gt_only_footprint_flag" in result:
         out["gt_only_footprint_flag"] = np.float32(
             result["gt_only_footprint_flag"])
+    if "gt_building_heights" in result:
+        gh = np.zeros((max_gt,), np.float32)
+        hv = np.asarray(result["gt_building_heights"],
+                        np.float32).reshape(-1)
+        gh[:min(len(hv), max_gt)] = hv[:max_gt]
+        out["gt_building_heights"] = gh
+    if "gt_angle" in result:
+        out["gt_angle"] = np.float32(result["gt_angle"])
+    # dense per-pixel supervision maps ride along at image resolution
+    # (already resized/padded to the image canvas by the pipeline)
+    for key in ("gt_offset_field", "gt_edge_maps", "gt_side_face_maps"):
+        if key in result:
+            out[key] = np.asarray(result[key], np.float32)
     return out, result.get("img_metas", {})
 
 

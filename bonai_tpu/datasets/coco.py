@@ -120,12 +120,18 @@ class CocoDataset:
                 out[f"AR@{n}"] = float(rec[i, 0])
         return out
 
+    def pre_pipeline(self, results):
+        """Hook for subclasses to add prefixes/field registries
+        (reference ``custom.py:195-216`` / ``bonai.py:71-80``)."""
+        return results
+
     def prepare(self, idx, rng=None):
         """Run the pipeline for one index; returns the result dict or None
         for empty-GT training images (caller retries — reference
         ``custom.py:175-194``)."""
         img_info = self.data_infos[idx]
         results = dict(img_info=img_info, img_prefix=self.img_prefix)
+        self.pre_pipeline(results)
         if not self.test_mode:
             results["ann_info"] = self.get_ann_info(idx)
             if (self.filter_empty_gt

@@ -67,11 +67,17 @@ class LoadAnnotations:
     """reference: ``loading.py:196-643`` incl. the offset flags
     (``_load_offsets`` ``:441-453``)."""
 
+    # dense offset fields mark unsupervised pixels with these sentinel
+    # component values (reference loading.py:564-575, transforms.py:508-537)
+    OFFSET_FIELD_IGNORE = (400.0, 500.0)
+
     def __init__(self, with_bbox=True, with_label=True, with_mask=False,
                  with_offset=False, with_building_height=False,
                  with_angle=False, with_seg=False,
                  with_footprint_bbox=False,
-                 with_only_footprint_flag=False, **kwargs):
+                 with_only_footprint_flag=False,
+                 with_edge=False, with_side_face=False,
+                 with_offset_field=False, **kwargs):
         self.with_bbox = with_bbox
         self.with_label = with_label
         self.with_mask = with_mask
@@ -80,6 +86,9 @@ class LoadAnnotations:
         self.with_angle = with_angle
         self.with_footprint_bbox = with_footprint_bbox
         self.with_only_footprint_flag = with_only_footprint_flag
+        self.with_edge = with_edge
+        self.with_side_face = with_side_face
+        self.with_offset_field = with_offset_field
 
     @staticmethod
     def _polys(segmentation):
@@ -127,6 +136,51 @@ class LoadAnnotations:
         if self.with_only_footprint_flag:
             results["gt_only_footprint_flag"] = np.float32(
                 ann.get("only_footprint_flag", 0.0))
+        if self.with_edge:
+            self._load_aux_map(results, "edge")
+        if self.with_side_face:
+            self._load_aux_map(results, "side_face")
+        if self.with_offset_field:
+            self._load_offset_field(results)
+        return results
+
+    @staticmethod
+    def _load_aux_map(results, kind):
+        """Per-image edge / side-face supervision map (reference
+        ``loading.py:500-551``).  Stored once per image as an (H, W)
+        array — the reference duplicates it into a BitmapMasks per
+        instance purely so mask transforms apply; a single map carries
+        identical information and transforms in O(HW), not O(N*HW)."""
+        import cv2
+        import os.path as osp
+        prefix = results.get(f"{kind}_prefix")
+        if prefix is None:
+            return
+        path = osp.join(prefix, results["ann_info"][f"{kind}_map"])
+        m = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+        if m is None:
+            raise FileNotFoundError(path)
+        key = f"gt_{kind}_maps"
+        results[key] = np.squeeze(m)
+        results.setdefault(f"{kind}_fields", []).append(key)
+
+    def _load_offset_field(self, results):
+        """Dense per-pixel (dx, dy) offset field from ``.npy`` with the
+        400/500 ignore sentinels zeroed (reference ``loading.py:554-583``)."""
+        import os.path as osp
+        prefix = results.get("offset_field_prefix")
+        if prefix is None:
+            return
+        path = osp.join(prefix, results["ann_info"]["offset_field"])
+        field = np.load(path).astype(np.float32)
+        for c in range(2):
+            ignore = np.zeros(field.shape[:2], bool)
+            for sentinel in self.OFFSET_FIELD_IGNORE:
+                ignore |= field[..., c] == sentinel
+            field[..., c][ignore] = 0.0
+        results["gt_offset_field"] = field
+        results.setdefault("offset_field_fields",
+                           []).append("gt_offset_field")
         return results
 
 
@@ -170,6 +224,15 @@ class Resize:
             results["gt_masks"] = [
                 [p * np.array([w_scale, h_scale], np.float32) for p in inst]
                 for inst in results["gt_masks"]]
+        # dense aux maps: nearest-neighbour resize (reference
+        # transforms.py:272-290 _resize_offset_field; values — offsets in
+        # px, edge/side-face classes — must not be interpolated)
+        for group in ("edge_fields", "side_face_fields",
+                      "offset_field_fields"):
+            for key in results.get(group, []):
+                results[key] = cv2.resize(
+                    results[key], (new_w, new_h),
+                    interpolation=cv2.INTER_NEAREST)
         return results
 
 
@@ -233,6 +296,27 @@ class RandomFlip:
             else:
                 o[:, 1] = -o[:, 1]
             results["gt_offsets"] = o
+        axis = 1 if direction == "horizontal" else 0
+        for key in results.get("edge_fields", []):
+            results[key] = np.flip(results[key], axis=axis).copy()
+        for key in results.get("side_face_fields", []):
+            results[key] = np.flip(results[key], axis=axis).copy()
+        for key in results.get("offset_field_fields", []):
+            # flip the field spatially and negate the mirrored component;
+            # sentinel-marked (400/500) pixels stay sentinels (reference
+            # transforms.py:508-537 re-marks them as 500 after negation).
+            # NOTE deliberate fix: the reference negates components but
+            # never spatially flips the field array, leaving it misaligned
+            # with the flipped image — every other per-pixel map there IS
+            # flipped, so we flip too.
+            field = np.flip(results[key], axis=axis).copy()
+            comp = 0 if direction == "horizontal" else 1
+            ignore = np.zeros(field.shape[:2], bool)
+            for s in LoadAnnotations.OFFSET_FIELD_IGNORE:
+                ignore |= field[..., comp] == s
+            field[..., comp] = -field[..., comp]
+            field[..., comp][ignore] = 500.0
+            results[key] = field
         return results
 
 
@@ -525,6 +609,17 @@ class Pad:
                          constant_values=self.pad_val)
         results["img"] = img
         results["pad_shape"] = (th, tw)
+        # pad dense aux maps to the same canvas (reference
+        # transforms.py:605-616 _pad_offset_field / seg pad)
+        for group in ("edge_fields", "side_face_fields",
+                      "offset_field_fields"):
+            for key in results.get(group, []):
+                m = results[key]
+                mh, mw = m.shape[:2]
+                if (th, tw) != (mh, mw):
+                    pad = [(0, th - mh), (0, tw - mw)]
+                    pad += [(0, 0)] * (m.ndim - 2)
+                    results[key] = np.pad(m, pad, constant_values=0)
         return results
 
 
@@ -558,10 +653,7 @@ class Collect:
         self.meta_keys = list(meta_keys or self.DEFAULT_META)
 
     def __call__(self, results):
-        out = {}
-        for k in self.keys:
-            out[k] = results.get(k.replace("img", "img")
-                                 if k != "img" else "img")
+        out = {k: results.get(k) for k in self.keys}
         out["img_metas"] = {m: results.get(m) for m in self.meta_keys}
         # meta values stay top-level too (the pack stage reads img_shape,
         # scale_factor, flip directly)
@@ -569,7 +661,8 @@ class Collect:
             out.setdefault(m, results.get(m))
         for k in ("gt_bboxes", "gt_labels", "gt_masks", "gt_offsets",
                   "gt_footprint_bboxes", "gt_only_footprint_flag",
-                  "gt_building_heights", "gt_angle"):
+                  "gt_building_heights", "gt_angle", "gt_edge_maps",
+                  "gt_side_face_maps", "gt_offset_field"):
             if k in results and k not in out:
                 out[k] = results[k]
         out["img"] = results["img"]
