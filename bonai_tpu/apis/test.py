@@ -122,14 +122,116 @@ def merge_flip_tta(orig, flipped_back, iou_thr=0.5, max_per_img=None):
     return merged
 
 
+def tta_cfg_from_pipeline(dataset):
+    """Extract the declared TTA views from a dataset whose test pipeline
+    contains ``MultiScaleFlipAug``; falls back to h+v flip at base scale
+    (the useful default for BONAI's fixed 1024² tiles)."""
+    from ..datasets.pipelines.transforms import MultiScaleFlipAug
+    datasets = getattr(dataset, "datasets", [dataset])
+    for ds in datasets:
+        pipeline = getattr(ds, "pipeline", None)
+        for t in getattr(pipeline, "transforms", []):
+            if isinstance(t, MultiScaleFlipAug):
+                cfg = t.tta_cfg()
+                if cfg["flip"] or len(cfg["scales"]) > 1:
+                    return cfg
+    return dict(scales=[1.0], flip=True,
+                flip_directions=["horizontal", "vertical"])
+
+
+def make_tta_step(model, scales=(1.0,), flip=False,
+                  flip_directions=("horizontal",), iou_thr=0.5):
+    """Build a jitted multi-view (scale x flip) TTA inference step.
+
+    TPU-first redesign of the reference TTA stack
+    (``mmdet/datasets/pipelines/test_time_aug.py:9-119`` enumerate views
+    host-side as DataContainers; ``mmdet/core/post_processing/
+    merge_augs.py:8-117`` + ``two_stage.py:201-211`` merge): here the
+    views are generated ON DEVICE inside one compiled step — flips are
+    ``jnp.flip``, scales are ``jax.image.resize`` — so the host ships
+    each image once and the whole enumerate/run/flip-back/NMS-merge
+    graph fuses under jit.  Detections from every view land in the
+    original frame (``simple_test`` divides by the view scale factor)
+    and are merged det-level with batched NMS.
+
+    NOTE: flip views mirror the whole padded canvas, so boxes are
+    un-flipped about ``pad_w / scale_factor``; with padding present the
+    flipped content would sit outside ``img_shape``'s clamp region —
+    BONAI tiles are size-divisor aligned (1024/32) so the canvas equals
+    the valid region.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def step(variables, image, img_shape, scale_factor):
+        views = []
+        pad_h = float(image.shape[1])
+        pad_w = float(image.shape[2])
+        for s in scales:
+            if s == 1.0:
+                img_s, shape_s, sf_s = image, img_shape, scale_factor
+            else:
+                nh = max(int(round(pad_h * s / 32)) * 32, 32)
+                nw = max(int(round(pad_w * s / 32)) * 32, 32)
+                img_s = jax.image.resize(
+                    image, (image.shape[0], nh, nw, image.shape[3]),
+                    method="bilinear")
+                sy, sx = nh / pad_h, nw / pad_w
+                shape_s = img_shape * jnp.asarray([sy, sx])
+                sf_s = scale_factor * jnp.asarray((sx + sy) / 2.0)
+            out = model.apply(variables, img_s, shape_s, sf_s,
+                              method="simple_test")
+            views.append(out)
+            if flip:
+                for direction in flip_directions:
+                    axis = 2 if direction == "horizontal" else 1
+                    out_f = model.apply(variables, jnp.flip(img_s, axis),
+                                        shape_s, sf_s, method="simple_test")
+                    # results are already in the original frame; un-flip
+                    # about the padded canvas extent mapped to that frame
+                    if direction == "horizontal":
+                        frame = jnp.stack(
+                            [jnp.zeros_like(sf_s) + pad_h,
+                             pad_w / jnp.broadcast_to(
+                                 jnp.asarray(sf_s), img_shape[:, 0].shape)],
+                            axis=-1)
+                    else:
+                        frame = jnp.stack(
+                            [pad_h / jnp.broadcast_to(
+                                jnp.asarray(sf_s), img_shape[:, 0].shape),
+                             jnp.zeros_like(sf_s) + pad_w], axis=-1)
+                    views.append(flip_device_result(out_f, frame,
+                                                    direction))
+        merged = views[0]
+        max_per_img = merged["det_bboxes"].shape[1]
+        for v in views[1:]:
+            merged = merge_flip_tta(merged, v, iou_thr=iou_thr,
+                                    max_per_img=max_per_img)
+        return merged
+
+    return jax.jit(step)
+
+
 def run_inference(model, variables, loader, eval_step=None, max_images=None,
-                  with_offset=True, progress=True):
+                  with_offset=True, progress=True, tta=None):
     """Run the eval loop over a test loader; returns the flat result list
-    ordered like the dataset (reference ``single_gpu_test``)."""
+    ordered like the dataset (reference ``single_gpu_test``).
+
+    ``tta``: optional dict(scales=[...], flip=bool, flip_directions=[...])
+    enabling multi-view test-time augmentation (``aug_test`` analog).
+    """
     import jax
     if eval_step is None:
-        eval_step = jax.jit(lambda v, img, shp, sf: model.apply(
-            v, img, shp, sf, method="simple_test"))
+        if tta:
+            eval_step = make_tta_step(
+                model, scales=tuple(tta.get("scales", (1.0,))),
+                flip=bool(tta.get("flip", False)),
+                flip_directions=tuple(tta.get("flip_directions",
+                                              ("horizontal",))),
+                iou_thr=float(tta.get("iou_thr", 0.5)))
+        else:
+            eval_step = jax.jit(lambda v, img, shp, sf: model.apply(
+                v, img, shp, sf, method="simple_test"))
     results = []
     seen = 0
     for batch, metas in loader:

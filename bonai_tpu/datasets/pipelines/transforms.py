@@ -671,18 +671,52 @@ class Collect:
 
 @PIPELINES.register_module()
 class MultiScaleFlipAug:
-    """Single-scale wrapper (reference ``test_time_aug.py:9-119``; BONAI
-    tests with flip=False so this reduces to running the inner pipeline)."""
+    """TTA declaration wrapper (reference ``test_time_aug.py:9-119``).
+
+    TPU-first split of responsibilities: the reference enumerates
+    (scale x flip) views host-side, yielding one DataContainer per view;
+    here the host pipeline runs ONCE at the base scale and the view
+    enumeration happens on device inside the compiled TTA step
+    (``apis/test.py:make_tta_step`` — flips are ``jnp.flip``, scales are
+    ``jax.image.resize``, merge is batched NMS, all fused under one jit).
+    This class therefore (a) pins the deterministic base view for the
+    host pipeline and (b) exposes the declared views via
+    :meth:`tta_cfg` for the CLIs' ``--aug-test``.
+    """
 
     def __init__(self, transforms, img_scale=None, flip=False,
-                 flip_direction="horizontal"):
+                 flip_direction="horizontal", scale_factors=None):
         self.transforms = build_pipeline(transforms)
-        self.img_scale = img_scale
+        # multiple scales: keep the largest as the base host-side scale,
+        # express the others as relative device-side factors
+        scales = img_scale if isinstance(img_scale, (list, tuple)) and \
+            img_scale and isinstance(img_scale[0], (list, tuple)) \
+            else ([img_scale] if img_scale else [])
+        self.img_scales = [tuple(s) for s in scales]
+        self.img_scale = self.img_scales[0] if self.img_scales else None
         self.flip = flip
+        self.flip_direction = (list(flip_direction)
+                               if isinstance(flip_direction, (list, tuple))
+                               else [flip_direction])
+        self.scale_factors = scale_factors
+
+    def tta_cfg(self):
+        """Device-side view spec consumed by ``make_tta_step``."""
+        if self.scale_factors is not None:
+            factors = list(self.scale_factors)
+        elif len(self.img_scales) > 1:
+            base = max(s[0] * s[1] for s in self.img_scales) ** 0.5
+            factors = sorted({round((s[0] * s[1]) ** 0.5 / base, 4)
+                              for s in self.img_scales}, reverse=True)
+        else:
+            factors = [1.0]
+        return dict(scales=factors, flip=self.flip,
+                    flip_directions=self.flip_direction)
 
     def __call__(self, results):
         results["scale"] = tuple(self.img_scale) if self.img_scale else None
-        if not self.flip:
-            results["flip"] = False
-            results["flip_direction"] = None
+        # the base view is always unflipped; flip views are generated on
+        # device (reference pins flip=False for the first view too)
+        results["flip"] = False
+        results["flip_direction"] = None
         return self.transforms(results)

@@ -22,6 +22,9 @@ def main():
     parser.add_argument("--nms-score", type=float, default=None,
                         help="override rcnn nms iou_threshold")
     parser.add_argument("--max-images", type=int, default=None)
+    parser.add_argument("--aug-test", action="store_true",
+                        help="multi-view TTA (h+v flip or the views "
+                             "declared by MultiScaleFlipAug)")
     args = parser.parse_args()
 
     import jax
@@ -63,8 +66,13 @@ def main():
         params, batch_stats = load_params_only(args.checkpoint)
         variables = {"params": params, "batch_stats": batch_stats}
 
+    tta = None
+    if args.aug_test:
+        from bonai_tpu.apis.test import tta_cfg_from_pipeline
+        tta = tta_cfg_from_pipeline(dataset)
+        print(f"aug-test views: {tta}")
     results = run_inference(model, variables, loader,
-                            max_images=args.max_images)
+                            max_images=args.max_images, tta=tta)
     payload = dict(results=results,
                    filenames=[d["filename"] for d in dataset.data_infos])
     with open(args.out, "wb") as f:

@@ -24,6 +24,10 @@ def main():
                         help="metrics: bbox segm")
     parser.add_argument("--max-images", type=int, default=None)
     parser.add_argument("--options", nargs="+", default=None)
+    parser.add_argument("--aug-test", action="store_true",
+                        help="multi-view TTA (scales x flips declared by "
+                             "MultiScaleFlipAug in the test pipeline; "
+                             "defaults to h+v flip)")
     args = parser.parse_args()
 
     import jax.numpy as jnp
@@ -63,8 +67,13 @@ def main():
         params, batch_stats = load_params_only(args.checkpoint)
         variables = {"params": params, "batch_stats": batch_stats}
 
+    tta = None
+    if args.aug_test:
+        from bonai_tpu.apis.test import tta_cfg_from_pipeline
+        tta = tta_cfg_from_pipeline(dataset)
+        print(f"aug-test views: {tta}")
     results = run_inference(model, variables, loader,
-                            max_images=args.max_images)
+                            max_images=args.max_images, tta=tta)
     if args.out:
         with open(args.out, "wb") as f:
             pickle.dump(results, f)
