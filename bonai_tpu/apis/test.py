@@ -140,7 +140,7 @@ def tta_cfg_from_pipeline(dataset):
 
 
 def make_tta_step(model, scales=(1.0,), flip=False,
-                  flip_directions=("horizontal",), iou_thr=0.5):
+                  flip_directions=("horizontal",), iou_thr=0.5, jit=True):
     """Build a jitted multi-view (scale x flip) TTA inference step.
 
     TPU-first redesign of the reference TTA stack
@@ -209,18 +209,26 @@ def make_tta_step(model, scales=(1.0,), flip=False,
                                     max_per_img=max_per_img)
         return merged
 
-    return jax.jit(step)
+    return jax.jit(step) if jit else step
 
 
 def run_inference(model, variables, loader, eval_step=None, max_images=None,
-                  with_offset=True, progress=True, tta=None):
+                  with_offset=True, progress=True, tta=None, mesh=None):
     """Run the eval loop over a test loader; returns the flat result list
-    ordered like the dataset (reference ``single_gpu_test``).
+    ordered like the dataset (reference ``single_gpu_test`` /
+    ``multi_gpu_test``).
 
     ``tta``: optional dict(scales=[...], flip=bool, flip_directions=[...])
     enabling multi-view test-time augmentation (``aug_test`` analog).
+    ``mesh``: optional ``jax.sharding.Mesh`` — the batch is sharded over
+    its ``data`` axis and ``simple_test`` runs SPMD (multi-device eval;
+    ``jax.device_get`` of the global outputs unshards in batch order).
     """
     import jax
+    sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sharding = NamedSharding(mesh, P("data"))
     if eval_step is None:
         if tta:
             eval_step = make_tta_step(
@@ -228,15 +236,30 @@ def run_inference(model, variables, loader, eval_step=None, max_images=None,
                 flip=bool(tta.get("flip", False)),
                 flip_directions=tuple(tta.get("flip_directions",
                                               ("horizontal",))),
-                iou_thr=float(tta.get("iou_thr", 0.5)))
+                iou_thr=float(tta.get("iou_thr", 0.5)),
+                jit=mesh is None)
+            if mesh is not None:
+                from ..engine.train_step import shard_map
+                from jax.sharding import PartitionSpec as P
+                eval_step = jax.jit(shard_map(
+                    eval_step, mesh=mesh,
+                    in_specs=(P(), P("data"), P("data"), P("data")),
+                    out_specs=P("data")))
+        elif mesh is not None:
+            from ..engine.train_step import make_eval_step
+            eval_step = make_eval_step(model, mesh=mesh)
         else:
             eval_step = jax.jit(lambda v, img, shp, sf: model.apply(
                 v, img, shp, sf, method="simple_test"))
     results = []
     seen = 0
     for batch, metas in loader:
-        out = eval_step(variables, batch["image"], batch["img_shape"],
+        img, shp, sf = (batch["image"], batch["img_shape"],
                         batch["scale_factor"])
+        if sharding is not None:
+            img, shp, sf = (jax.device_put(x, sharding)
+                            for x in (img, shp, sf))
+        out = eval_step(variables, img, shp, sf)
         out = jax.device_get(out)
         results.extend(results_to_host(out, metas, with_offset=with_offset))
         seen += batch["image"].shape[0]
@@ -246,4 +269,12 @@ def run_inference(model, variables, loader, eval_step=None, max_images=None,
             break
     if progress:
         print()
+    # the loader wrap-pads the final batch; drop the duplicates (the
+    # sharded case keeps its local padding — collect_results_shards
+    # truncates after the cross-host interleave)
+    if getattr(loader, "num_shards", 1) == 1:
+        total = len(getattr(loader, "dataset", results))
+        if max_images is not None:
+            total = min(total, max_images)
+        results = results[:total]
     return results

@@ -181,10 +181,10 @@ class DataLoader:
         self.epoch = 0
 
     def __len__(self):
-        n = len(self.dataset) // self.num_shards
         if self.drop_last:
-            return n // self.batch_size
-        return -(-n // self.batch_size)
+            return (len(self.dataset) // self.num_shards) // self.batch_size
+        per = -(-len(self.dataset) // self.num_shards)
+        return -(-per // self.batch_size)
 
     def set_epoch(self, epoch):
         self.epoch = epoch
@@ -193,11 +193,21 @@ class DataLoader:
         n = len(self.dataset)
         rng = np.random.RandomState(self.seed + self.epoch)
         idx = rng.permutation(n) if self.shuffle else np.arange(n)
-        # per-host shard (reference DistributedGroupSampler semantics)
-        per = n // self.num_shards
-        if per == 0:
+        if self.num_shards == 1:
             return idx
-        return idx[self.shard_id * per:(self.shard_id + 1) * per]
+        if self.drop_last:
+            # training: contiguous equal shards, tail dropped (reference
+            # DistributedGroupSampler semantics)
+            per = n // self.num_shards
+            return idx[self.shard_id * per:(self.shard_id + 1) * per]
+        # eval: wrap-pad so every shard sees ceil(n/shards) images, then
+        # interleave — shard s gets padded[s::shards], so the global order
+        # is recovered by merged[j*shards + s] = host_s[j] and truncating
+        # to n (reference collect_results interleave-unshard,
+        # apis/test.py:145-184)
+        per = -(-n // self.num_shards)
+        padded = np.resize(idx, per * self.num_shards)  # cyclic wrap-pad
+        return padded[self.shard_id::self.num_shards]
 
     def _load_one(self, idx, rng):
         for attempt in range(32):
