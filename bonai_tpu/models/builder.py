@@ -23,7 +23,8 @@ def _plain(obj):
     return obj
 
 
-def build_detector(cfg, train_cfg=None, test_cfg=None, compute_dtype=None):
+def build_detector(cfg, train_cfg=None, test_cfg=None, compute_dtype=None,
+                   roi_align_impl=None):
     from .detectors import FasterRCNN, MaskRCNN, LOFT, TwoStageDetector
     from .detectors.single_stage import RetinaNet
     from .detectors.cascade_rcnn import CascadeRCNN
@@ -50,4 +51,7 @@ def build_detector(cfg, train_cfg=None, test_cfg=None, compute_dtype=None):
         kwargs["bbox_head"] = cfg.get("bbox_head")
     if compute_dtype is not None:
         kwargs["compute_dtype"] = compute_dtype
+    impl = roi_align_impl or cfg.get("roi_align_impl")
+    if impl is not None and det_type != "RetinaNet":
+        kwargs["roi_align_impl"] = impl
     return registry[det_type](**kwargs)

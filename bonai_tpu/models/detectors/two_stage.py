@@ -95,6 +95,8 @@ class TwoStageDetector(nn.Module):
     test_cfg: Any = None
     pretrained: Optional[str] = None
     compute_dtype: str = "float32"
+    roi_align_impl: Optional[str] = None   # model-wide default for
+                                           # extractor cfgs without 'impl'
 
     # ---------------- module construction ----------------
     def setup(self):
@@ -196,11 +198,16 @@ class TwoStageDetector(nn.Module):
         sr = layer.get("sampling_ratio", 0) or 2   # static grid on TPU
         strides = list(extractor_cfg.get("featmap_strides", [4, 8, 16, 32]))
         # default = gather: the blocked variant's forward is faster but its
-        # backward block-scatter serializes (~23GB/s) and loses end-to-end
-        impl = extractor_cfg.get("impl", "gather")
+        # backward block-scatter serializes (~23GB/s) and loses end-to-end;
+        # 'pallas' selects the fused fwd+bwd kernel (pallas_roi_align_fused)
+        impl = extractor_cfg.get("impl", self.roi_align_impl or "gather")
         if impl == "blocked":
             from ...ops.roi_align_blocked import multilevel_roi_align_blocked
             fn = multilevel_roi_align_blocked
+        elif impl == "pallas":
+            from ...ops.pallas_roi_align_fused import (
+                pallas_multilevel_roi_align)
+            fn = pallas_multilevel_roi_align
         else:
             fn = multilevel_roi_align
         return fn(

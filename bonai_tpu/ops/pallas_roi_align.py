@@ -106,7 +106,7 @@ def pallas_roi_align(features, rois, output_size, featmap_strides,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(R,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, oh, ow, C),
                                lambda r, *args: (r, 0, 0, 0),
                                memory_space=pltpu.VMEM),

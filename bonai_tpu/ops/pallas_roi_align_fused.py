@@ -1,0 +1,320 @@
+"""Fused fwd+bwd Pallas RoIAlign — the production TPU kernel.
+
+Replaces both halves of the XLA gather formulation (``roi_align.py``):
+
+- forward: XLA lowers the 4-corner gathers to one DMA descriptor per
+  bilinear corner row (descriptor-bound, ~57M rows/s).  Here each RoI's
+  ``2*ny`` sample rows are fetched as contiguous ``(window, C)`` strips
+  (few, large descriptors), double-buffered across the RoI grid so the
+  next RoI's DMAs overlap the current RoI's MXU compute; x-resolution is
+  a one-hot contraction on the MXU.
+- backward: XLA emits a serialized 4N-row scatter-add.  Here the kernel
+  walks the same per-RoI strips, computes the strip gradients with the
+  transposed one-hot matmuls, de-duplicates repeated rows *inside* the
+  RoI with an equality-matrix contraction, and read-modify-writes the
+  ``(P, C)`` gradient buffer in HBM.  The sequential TPU grid plus a
+  wait-previous-writes fence makes the RMW race-free.
+
+Semantics match ``multilevel_roi_align`` (reference CUDA counterpart:
+``mmcv`` RoIAlign via ``single_level_roi_extractor.py:54-93``) with one
+bound: an RoI's x-extent on its assigned FPN level must fit ``window``
+cells (64 by default — aspect ratios ≲5 at the level rule's sqrt(wh)
+∈ [56, 112) px; beyond-window samples contribute zero, exactly like the
+blocked formulation).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .roi_align import map_roi_levels, prepare_flat_levels, _sample_coords
+
+
+def _plan(rois, consts, featmap_strides, output_size, sr, aligned,
+          finest_scale, window, roi_valid):
+    """Traced (vector-math) index planning: per-RoI strip rows, in-window
+    x offsets, interpolation fractions, and first-occurrence masks."""
+    num_levels = len(featmap_strides)
+    heights = consts["heights"][:num_levels]
+    widths = consts["widths"][:num_levels]
+    level_offsets = consts["level_offsets"][:num_levels]
+    boxes = rois[:, 1:5]
+    batch_idx = rois[:, 0].astype(jnp.int32)
+    lvl = map_roi_levels(boxes, num_levels, finest_scale)
+    strides = jnp.asarray(featmap_strides, jnp.float32)
+    Hl = jnp.asarray(heights)[lvl]
+    Wl = jnp.asarray(widths)[lvl]
+    base_off = jnp.asarray(level_offsets)[lvl] + batch_idx * Hl * Wl
+
+    oh, ow = output_size
+    ny, nx = oh * sr, ow * sr
+    scaled = boxes / strides[lvl][:, None]
+    ys, xs = _sample_coords(scaled, output_size, sr, aligned)
+    y_s = ys[:, :, 0]                                   # (R, ny)
+    x_s = xs[:, 0, :]                                   # (R, nx)
+    Hf = Hl.astype(jnp.float32)
+    Wf = Wl.astype(jnp.float32)
+    out_y = (y_s < -1.0) | (y_s > Hf[:, None])
+    out_x = (x_s < -1.0) | (x_s > Wf[:, None])
+    yc = jnp.clip(y_s, 0.0, Hf[:, None] - 1.0)
+    xc = jnp.clip(x_s, 0.0, Wf[:, None] - 1.0)
+    y0 = jnp.clip(jnp.floor(yc), 0,
+                  jnp.maximum(Hl[:, None] - 2, 0)).astype(jnp.int32)
+    x0 = jnp.clip(jnp.floor(xc), 0,
+                  jnp.maximum(Wl[:, None] - 2, 0)).astype(jnp.int32)
+    ly = jnp.where(out_y, -1.0, yc - y0)                # -1 => zero weight
+    lx = jnp.where(out_x, -1.0, xc - x0)
+    if roi_valid is not None:
+        gate = roi_valid[:, None]
+        ly = jnp.where(gate, ly, -1.0)
+        lx = jnp.where(gate, lx, -1.0)
+        base_off = jnp.where(roi_valid, base_off, 0)
+    win_start = jnp.minimum(jnp.min(x0, axis=1),
+                            jnp.maximum(Wl - window, 0))
+    row0 = base_off[:, None] + y0 * Wl[:, None] + win_start[:, None]
+    row1 = base_off[:, None] + jnp.minimum(y0 + 1, Hl[:, None] - 1) * \
+        Wl[:, None] + win_start[:, None]
+    rows = jnp.concatenate([row0, row1], axis=1)        # (R, 2ny), t-major
+    e0 = x0 - win_start[:, None]                        # (R, nx)
+    # first occurrence of each distinct row within the RoI (dedup for the
+    # backward RMW: duplicate rows must be written exactly once)
+    eq = rows[:, :, None] == rows[:, None, :]           # (R, 2ny, 2ny)
+    tri = jnp.tril(jnp.ones((2 * ny, 2 * ny), bool), k=-1)
+    first_occ = ~jnp.any(eq & tri, axis=2)
+    return dict(rows=rows.astype(jnp.int32),
+                first_occ=first_occ.astype(jnp.int32),
+                e0=e0.astype(jnp.int32),
+                lx=lx.astype(jnp.float32), ly=ly.astype(jnp.float32))
+
+
+def _xy_weights(e0, lx, ly, nx, ny, window):
+    """One-hot x weights (nx, window) and y weights (2, ny) from plan rows."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, (nx, window), 1)
+    valid_x = (lx >= 0.0).astype(jnp.float32)
+    lxc = jnp.maximum(lx, 0.0)
+    w_lo = jnp.where(iota == e0[:, None], (1.0 - lxc)[:, None], 0.0)
+    w_hi = jnp.where(iota == (e0 + 1)[:, None], lxc[:, None], 0.0)
+    wx = (w_lo + w_hi) * valid_x[:, None]
+    valid_y = (ly >= 0.0).astype(jnp.float32)
+    lyc = jnp.maximum(ly, 0.0)
+    wy = jnp.stack([(1.0 - lyc) * valid_y, lyc * valid_y])   # (2, ny)
+    return wx, wy
+
+
+def _fwd_kernel(oh, ow, sr, window, C, R, dtype,
+                rows_ref, focc_ref, e0_ref, lx_ref, ly_ref,
+                flat_ref, out_ref, buf, sems):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    ny, nx = oh * sr, ow * sr
+    n_strips = 2 * ny
+    r = pl.program_id(0)
+
+    def strip_dma(slot, roi, j):
+        return pltpu.make_async_copy(
+            flat_ref.at[pl.ds(rows_ref[roi, j], window), :],
+            buf.at[slot, j], sems.at[slot, j])
+
+    @pl.when(r == 0)
+    def _():
+        for j in range(n_strips):
+            strip_dma(0, 0, j).start()
+
+    @pl.when(r + 1 < R)
+    def _():
+        nxt = (r + 1) % 2
+        for j in range(n_strips):
+            strip_dma(nxt, r + 1, j).start()
+
+    slot = r % 2
+    for j in range(n_strips):
+        strip_dma(slot, r, j).wait()
+
+    wx, wy = _xy_weights(e0_ref[r], lx_ref[r], ly_ref[r], nx, ny, window)
+    F = buf[slot].astype(jnp.float32)                    # (2ny, window, C)
+    G = jax.lax.dot_general(
+        wx, F.transpose(1, 0, 2).reshape(window, n_strips * C),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # (nx, 2ny*C)
+    G = G.reshape(nx, 2, ny, C)
+    vals = G[:, 0] * wy[0][None, :, None] + G[:, 1] * wy[1][None, :, None]
+    vals = vals.transpose(1, 0, 2).reshape(oh, sr, ow, sr, C)
+    out_ref[0] = jnp.mean(vals, axis=(1, 3)).astype(out_ref.dtype)
+
+
+def _bwd_kernel(oh, ow, sr, window, C, R,
+                rows_ref, focc_ref, e0_ref, lx_ref, ly_ref,
+                rows_vec_ref, g_ref, dflat_in_ref, dflat_ref,
+                rbuf, wbuf, rsems, wsems):
+    # dflat_in_ref is aliased to dflat_ref (same HBM buffer); all
+    # reads/writes go through the output ref
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    ny, nx = oh * sr, ow * sr
+    n_strips = 2 * ny
+    r = pl.program_id(0)
+
+    def read_dma(roi, j):
+        return pltpu.make_async_copy(
+            dflat_ref.at[pl.ds(rows_ref[roi, j], window), :],
+            rbuf.at[j], rsems.at[j])
+
+    def write_dma(roi, j):
+        return pltpu.make_async_copy(
+            wbuf.at[j], dflat_ref.at[pl.ds(rows_ref[roi, j], window), :],
+            wsems.at[j])
+
+    # fence: previous RoI's writes must land before we read (strips of
+    # consecutive RoIs may overlap rows)
+    @pl.when(r > 0)
+    def _():
+        for j in range(n_strips):
+            @pl.when(focc_ref[r - 1, j] == 1)
+            def _():
+                write_dma(r - 1, j).wait()
+
+    for j in range(n_strips):
+        read_dma(r, j).start()
+
+    wx, wy = _xy_weights(e0_ref[r], lx_ref[r], ly_ref[r], nx, ny, window)
+    # upstream grad -> per-sample grads (mean pooling backward)
+    g = g_ref[0].astype(jnp.float32)                     # (oh, ow, C)
+    gs = jnp.broadcast_to(g[:, None, :, None, :],
+                          (oh, sr, ow, sr, C)).reshape(ny, nx, C)
+    gs = gs / float(sr * sr)
+    # dG[x, t, y, c] = gs[y, x, c] * wy[t, y]
+    dG = gs.transpose(1, 0, 2)[:, None] * wy[None, :, :, None]
+    dG = dG.reshape(nx, n_strips * C)
+    dFm = jax.lax.dot_general(
+        wx, dG, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # (window, 2ny*C)
+    dstrips = dFm.reshape(window, n_strips, C).transpose(1, 0, 2)
+    # intra-RoI dedup: rows repeated across strips combine into the first
+    # occurrence (E @ dstrips sums duplicates; non-first rows not written)
+    rv = rows_vec_ref[0]                                 # (2ny,) int32
+    E = (rv[:, None] == rv[None, :]).astype(jnp.float32)
+    combined = jax.lax.dot_general(
+        E, dstrips.reshape(n_strips, window * C),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).reshape(n_strips, window, C)
+
+    for j in range(n_strips):
+        read_dma(r, j).wait()
+    wbuf[:] = rbuf[:] + combined
+
+    for j in range(n_strips):
+        @pl.when(focc_ref[r, j] == 1)
+        def _():
+            write_dma(r, j).start()
+
+    @pl.when(r == R - 1)
+    def _():
+        for j in range(n_strips):
+            @pl.when(focc_ref[r, j] == 1)
+            def _():
+                write_dma(r, j).wait()
+
+
+def _pallas_fwd(flat, plan, oh, ow, sr, window, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    C = flat.shape[1]
+    R = plan["rows"].shape[0]
+    ny = oh * sr
+    n_strips = 2 * ny
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(R,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((1, oh, ow, C), lambda r, *_: (r, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, n_strips, window, C), flat.dtype),
+            pltpu.SemaphoreType.DMA((2, n_strips)),
+        ],
+    )
+    kernel = functools.partial(_fwd_kernel, oh, ow, sr, window, C, R,
+                               flat.dtype)
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((R, oh, ow, C), flat.dtype),
+        interpret=interpret,
+    )(plan["rows"], plan["first_occ"], plan["e0"], plan["lx"], plan["ly"],
+      flat)
+
+
+def _pallas_bwd(g, plan, P, C, oh, ow, sr, window, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    R = plan["rows"].shape[0]
+    ny = oh * sr
+    n_strips = 2 * ny
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(R,),
+        in_specs=[
+            pl.BlockSpec((1, n_strips), lambda r, *_: (r, 0),
+                         memory_space=pltpu.VMEM),       # rows as vector
+            pl.BlockSpec((1, oh, ow, C), lambda r, *_: (r, 0, 0, 0),
+                         memory_space=pltpu.VMEM),       # upstream grad
+            pl.BlockSpec(memory_space=pl.ANY),        # dflat (aliased)
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((n_strips, window, C), jnp.float32),
+            pltpu.VMEM((n_strips, window, C), jnp.float32),
+            pltpu.SemaphoreType.DMA((n_strips,)),
+            pltpu.SemaphoreType.DMA((n_strips,)),
+        ],
+    )
+    kernel = functools.partial(_bwd_kernel, oh, ow, sr, window, C, R)
+    dflat0 = jnp.zeros((P, C), jnp.float32)
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((P, C), jnp.float32),
+        input_output_aliases={7: 0},   # dflat0 (5 scalar-prefetch + 2) -> out
+        interpret=interpret,
+    )(plan["rows"], plan["first_occ"], plan["e0"], plan["lx"], plan["ly"],
+      plan["rows"], g, dflat0)
+
+
+def pallas_multilevel_roi_align(features, rois, output_size,
+                                featmap_strides, sampling_ratio=2,
+                                aligned=True, finest_scale=56,
+                                roi_valid=None, flat_pack=None, window=64,
+                                interpret=False):
+    """Drop-in replacement for ``multilevel_roi_align`` with a fused
+    Pallas forward and backward (same contract; differentiable in the
+    feature pyramid)."""
+    if isinstance(output_size, int):
+        output_size = (output_size, output_size)
+    oh, ow = output_size
+    sr = max(int(sampling_ratio), 1)
+    if flat_pack is None:
+        flat_pack = prepare_flat_levels(features[:len(featmap_strides)])
+    flat, consts = flat_pack
+    plan = _plan(rois, consts, featmap_strides, output_size, sr, aligned,
+                 finest_scale, window, roi_valid)
+    P = int(flat.shape[0])
+    C = int(flat.shape[1])
+
+    @jax.custom_vjp
+    def run(flat, plan):
+        return _pallas_fwd(flat, plan, oh, ow, sr, window, interpret)
+
+    def run_fwd(flat, plan):
+        return run(flat, plan), plan
+
+    def run_bwd(plan, g):
+        dflat = _pallas_bwd(g, plan, P, C, oh, ow, sr, window, interpret)
+        zero_plan = {k: (np.zeros(v.shape, jax.dtypes.float0)
+                         if v.dtype.kind in "ib" else jnp.zeros_like(v))
+                     for k, v in plan.items()}
+        return dflat.astype(flat.dtype), zero_plan
+
+    run.defvjp(run_fwd, run_bwd)
+    return run(flat, plan)

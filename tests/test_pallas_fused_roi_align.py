@@ -1,0 +1,118 @@
+"""Fused Pallas RoIAlign (fwd+bwd) vs the XLA gather reference.
+
+Interpret-mode numerical validation on CPU (compiled-TPU timing lives in
+``tools/bench_roi_align.py``).  Window-bounded contract: test RoIs keep
+their x-extent within 64 cells at the assigned level, matching
+production shapes (buildings, aspect ≲5).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bonai_tpu.ops.roi_align import multilevel_roi_align
+from bonai_tpu.ops.pallas_roi_align_fused import pallas_multilevel_roi_align
+
+STRIDES = [4, 8, 16, 32]
+
+
+def _fixture(seed=0, B=2, S=256, C=32, n=24):
+    r = np.random.RandomState(seed)
+    feats = [jnp.asarray(r.randn(B, S // s, S // s, C), jnp.float32)
+             for s in STRIDES]
+    xy1 = r.uniform(0, S * 0.6, (n, 2)).astype(np.float32)
+    wh = r.uniform(16, S * 0.35, (n, 2)).astype(np.float32)
+    b = r.randint(0, B, (n, 1)).astype(np.float32)
+    rois = jnp.asarray(np.concatenate([b, xy1, np.minimum(xy1 + wh, S - 1)],
+                                      axis=1))
+    return feats, rois
+
+
+@pytest.mark.parametrize("out_size", [7, 14])
+def test_fused_forward_matches_gather(out_size):
+    feats, rois = _fixture()
+    ref = multilevel_roi_align(feats, rois, out_size, STRIDES,
+                               sampling_ratio=2)
+    got = pallas_multilevel_roi_align(feats, rois, out_size, STRIDES,
+                                      sampling_ratio=2, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_fused_backward_matches_gather():
+    feats, rois = _fixture(seed=1, n=12)
+    r = np.random.RandomState(2)
+    # random cotangent so every bin contributes distinctly
+    ct = jnp.asarray(r.randn(12, 7, 7, 32), jnp.float32)
+
+    def loss(fn, interp):
+        def f(fs):
+            kw = dict(interpret=True) if interp else {}
+            out = fn(fs, rois, 7, STRIDES, sampling_ratio=2, **kw)
+            return jnp.sum(out * ct)
+        return f
+
+    g_ref = jax.grad(loss(multilevel_roi_align, False))(feats)
+    g_pal = jax.grad(loss(pallas_multilevel_roi_align, True))(feats)
+    for a, b, s in zip(g_pal, g_ref, STRIDES):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4,
+                                   err_msg=f"stride {s}")
+
+
+def test_fused_roi_valid_gates_fwd_and_bwd():
+    feats, rois = _fixture(seed=3, n=8)
+    valid = jnp.asarray([True, True, False, True, False, True, True, True])
+
+    out = pallas_multilevel_roi_align(feats, rois, 7, STRIDES,
+                                      sampling_ratio=2, roi_valid=valid,
+                                      interpret=True)
+    assert float(jnp.abs(out[2]).sum()) == 0.0
+    assert float(jnp.abs(out[4]).sum()) == 0.0
+    ref = multilevel_roi_align(feats, rois, 7, STRIDES, sampling_ratio=2,
+                               roi_valid=valid)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+    def f(fs):
+        o = pallas_multilevel_roi_align(fs, rois, 7, STRIDES,
+                                        sampling_ratio=2, roi_valid=valid,
+                                        interpret=True)
+        return jnp.sum(o ** 2)
+
+    def f_ref(fs):
+        o = multilevel_roi_align(fs, rois, 7, STRIDES, sampling_ratio=2,
+                                 roi_valid=valid)
+        return jnp.sum(o ** 2)
+
+    g = jax.grad(f)(feats)
+    gr = jax.grad(f_ref)(feats)
+    for a, b in zip(g, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_fused_overlapping_rois_backward():
+    """Heavily overlapping RoIs stress the cross-RoI RMW fence and the
+    intra-RoI row dedup (identical boxes share every strip row)."""
+    r = np.random.RandomState(4)
+    feats = [jnp.asarray(r.randn(1, 64 // s * 4, 64 // s * 4, 16),
+                         jnp.float32) for s in STRIDES]
+    box = np.array([0.0, 40.0, 40.0, 140.0, 140.0], np.float32)
+    rois = jnp.asarray(np.stack([box, box, box + [0, 1, 1, 1, 1],
+                                 box, box + [0, 2, 0, 2, 0]]))
+    ct = jnp.asarray(r.randn(5, 7, 7, 16), jnp.float32)
+
+    def f(fn, interp):
+        def inner(fs):
+            kw = dict(interpret=True) if interp else {}
+            return jnp.sum(fn(fs, rois, 7, STRIDES, sampling_ratio=2,
+                              **kw) * ct)
+        return inner
+
+    g_ref = jax.grad(f(multilevel_roi_align, False))(feats)
+    g_pal = jax.grad(f(pallas_multilevel_roi_align, True))(feats)
+    for a, b in zip(g_pal, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)

@@ -38,7 +38,7 @@ def main():
     parser.add_argument("--size", type=int, default=1024)
     parser.add_argument("--dtype", default="bfloat16")
     parser.add_argument("--iters", type=int, default=20)
-    parser.add_argument("--impls", default="gather,blocked,pallas")
+    parser.add_argument("--impls", default="gather,blocked,pallas,fused")
     args = parser.parse_args()
 
     global jax
@@ -77,6 +77,10 @@ def main():
             return pallas_roi_align(f, ro, os_, st,
                                     sampling_ratio=sampling_ratio)
         impls["pallas"] = pallas_impl
+    if "fused" in args.impls:
+        from bonai_tpu.ops.pallas_roi_align_fused import (
+            pallas_multilevel_roi_align)
+        impls["fused"] = pallas_multilevel_roi_align
 
     for name, fn in impls.items():
         for bname, rois, osz in branches:
