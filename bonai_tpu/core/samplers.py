@@ -18,7 +18,8 @@ import jax
 import jax.numpy as jnp
 
 
-def random_sample(rng, assigned_gt_inds, num, pos_fraction, neg_pos_ub=-1):
+def random_sample(rng, assigned_gt_inds, num, pos_fraction, neg_pos_ub=-1,
+                  _pos_cap=None):
     """Sample a fixed ``num`` of candidates from an assignment vector.
 
     Args:
@@ -36,12 +37,15 @@ def random_sample(rng, assigned_gt_inds, num, pos_fraction, neg_pos_ub=-1):
     n = assigned_gt_inds.shape[0]
     if num > n:
         # fewer candidates than the requested sample size (tiny configs):
-        # sample all candidates and pad the outputs to `num`
+        # sample all candidates and pad the outputs to `num`; the positive
+        # cap stays num*pos_fraction of the ORIGINAL num
         inner = random_sample(rng, assigned_gt_inds, n, pos_fraction,
-                              neg_pos_ub)
+                              neg_pos_ub,
+                              _pos_cap=min(int(num * pos_fraction), n))
         pad = num - n
         return {k: jnp.pad(v, (0, pad)) for k, v in inner.items()}
-    num_expected_pos = int(num * pos_fraction)
+    num_expected_pos = (int(num * pos_fraction) if _pos_cap is None
+                        else _pos_cap)
     is_pos = assigned_gt_inds > 0
     is_neg = assigned_gt_inds == 0
 
@@ -70,6 +74,62 @@ def random_sample(rng, assigned_gt_inds, num, pos_fraction, neg_pos_ub=-1):
     # final ranking: chosen positives first, then randomly-ranked negatives
     final_key = jnp.where(chosen_pos, 2.0 + u_pos,
                           jnp.where(chosen_neg_rank, u_neg, 0.0))
+    key_vals, inds = jax.lax.top_k(final_key, num)
+    valid = key_vals > 0.0
+    is_pos_out = key_vals > 2.0
+    pos_gt_inds = jnp.maximum(assigned_gt_inds[inds] - 1, 0)
+    return {
+        "inds": inds,
+        "is_pos": is_pos_out & valid,
+        "valid": valid,
+        "pos_gt_inds": pos_gt_inds,
+    }
+
+
+def ohem_sample(loss, assigned_gt_inds, num, pos_fraction, neg_pos_ub=-1,
+                _pos_cap=None):
+    """Online Hard Example Mining: like :func:`random_sample` but ranked
+    by per-candidate loss instead of random keys.
+
+    reference: ``mmdet/core/bbox/samplers/ohem_sampler.py`` — positives
+    beyond the cap and all negatives are chosen by descending
+    classification loss (``hard_mining``: no-grad bbox-head forward,
+    ``loss.topk``).  Static-shape TPU version: the loss is squashed to
+    (0, 1) and used as the top-k ranking key in the same banded scheme
+    as the random sampler (chosen positives 2+key > negatives key > 0).
+
+    Args:
+      loss: ``(N,)`` float32 per-candidate loss (already stop-gradiented).
+      assigned_gt_inds: ``(N,)`` int32 from :func:`max_iou_assign`.
+    Returns the same static-shape dict as :func:`random_sample`.
+    """
+    n = assigned_gt_inds.shape[0]
+    if num > n:
+        inner = ohem_sample(loss, assigned_gt_inds, n, pos_fraction,
+                            neg_pos_ub,
+                            _pos_cap=min(int(num * pos_fraction), n))
+        return {k: jnp.pad(v, (0, num - n)) for k, v in inner.items()}
+    num_expected_pos = (int(num * pos_fraction) if _pos_cap is None
+                        else _pos_cap)
+    is_pos = assigned_gt_inds > 0
+    is_neg = assigned_gt_inds == 0
+    # squash to (0, 1), monotone in loss
+    key = (loss + 1e-6) / (1.0 + loss + 1e-6)
+
+    pos_key = jnp.where(is_pos, 1.0 + key, 0.0)
+    _, pos_sel = jax.lax.top_k(pos_key, num_expected_pos)
+    chosen_pos = jnp.zeros(n, bool).at[pos_sel].set(True) & is_pos
+
+    if neg_pos_ub > 0:
+        max_neg = neg_pos_ub * num_expected_pos
+    else:
+        max_neg = num
+    neg_key = jnp.where(is_neg, key, 0.0)
+    _, neg_sel = jax.lax.top_k(neg_key, min(max_neg, num))
+    chosen_neg = jnp.zeros(n, bool).at[neg_sel].set(True) & is_neg
+
+    final_key = jnp.where(chosen_pos, 2.0 + key,
+                          jnp.where(chosen_neg, key, 0.0))
     key_vals, inds = jax.lax.top_k(final_key, num)
     valid = key_vals > 0.0
     is_pos_out = key_vals > 2.0

@@ -49,15 +49,11 @@ def _dtype(name):
     return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[name]
 
 
-def assign_and_sample_rcnn(rng, proposals, proposal_valid, gt_bboxes,
-                           gt_valid, assigner_cfg, sampler_cfg):
-    """Single-image second-stage assign+sample with ``add_gt_as_proposals``.
-
-    reference: ``standard_roi_head.py:70-104`` +
-    ``base_sampler.py`` sample() — gt boxes join the candidate pool (their
-    self-IoU of 1.0 makes them positives).
-    Returns the sample dict plus the sampled candidate boxes ``(num, 4)``.
-    """
+def assign_rcnn(proposals, proposal_valid, gt_bboxes, gt_valid,
+                assigner_cfg):
+    """Single-image second-stage assignment with ``add_gt_as_proposals``
+    (gt boxes join the candidate pool; their self-IoU of 1 makes them
+    positives).  reference: ``standard_roi_head.py:70-104``."""
     cand = jnp.concatenate([gt_bboxes, proposals], axis=0)
     cand_valid = jnp.concatenate([gt_valid, proposal_valid], axis=0)
     assigned, _ = max_iou_assign(
@@ -67,6 +63,17 @@ def assign_and_sample_rcnn(rng, proposals, proposal_valid, gt_bboxes,
         min_pos_iou=assigner_cfg.get("min_pos_iou", 0.5),
         match_low_quality=assigner_cfg.get("match_low_quality", True),
         box_valid=cand_valid)
+    return cand, cand_valid, assigned
+
+
+def assign_and_sample_rcnn(rng, proposals, proposal_valid, gt_bboxes,
+                           gt_valid, assigner_cfg, sampler_cfg):
+    """Single-image assign + random sample (reference
+    ``standard_roi_head.py:70-104`` + ``base_sampler.py`` sample()).
+    Returns the sample dict plus the sampled candidate boxes ``(num, 4)``.
+    """
+    cand, cand_valid, assigned = assign_rcnn(
+        proposals, proposal_valid, gt_bboxes, gt_valid, assigner_cfg)
     res = random_sample(rng, assigned,
                         num=sampler_cfg.get("num", 512),
                         pos_fraction=sampler_cfg.get("pos_fraction", 0.25),
@@ -294,10 +301,15 @@ class TwoStageDetector(nn.Module):
 
         flat_pack = self._flat_pack(feats)
         rngs = jax.random.split(rng, b)
-        res, sampled_boxes = jax.vmap(
-            lambda r, p, pv, gb, gv: assign_and_sample_rcnn(
-                r, p, pv, gb, gv, dict(rcnn["assigner"]), sampler_cfg)
-        )(rngs, proposals, prop_valid, gt_bboxes, gt_valid)
+        if sampler_cfg.get("type", "RandomSampler") == "OHEMSampler":
+            res, sampled_boxes = self._ohem_assign_and_sample(
+                feats, proposals, prop_valid, batch, rcnn, sampler_cfg,
+                flat_pack)
+        else:
+            res, sampled_boxes = jax.vmap(
+                lambda r, p, pv, gb, gv: assign_and_sample_rcnn(
+                    r, p, pv, gb, gv, dict(rcnn["assigner"]), sampler_cfg)
+            )(rngs, proposals, prop_valid, gt_bboxes, gt_valid)
         # res fields: (B, num); sampled_boxes: (B, num, 4)
 
         coder = dict(self.bbox_coder_cfg)
@@ -345,6 +357,47 @@ class TwoStageDetector(nn.Module):
         losses.update(self._extra_forward_train(
             feats, batch, rcnn, pos_boxes, pos_is_pos, pos_gt, flat_pack))
         return losses
+
+    def _ohem_assign_and_sample(self, feats, proposals, prop_valid, batch,
+                                rcnn, sampler_cfg, flat_pack):
+        """OHEM sampling: rank candidates by a no-grad bbox-head
+        classification loss (reference
+        ``mmdet/core/bbox/samplers/ohem_sampler.py`` ``hard_mining`` —
+        RoIAlign + head forward under ``torch.no_grad`` + ``loss.topk``).
+        """
+        from ...core.samplers import ohem_sample
+        gt_bboxes = batch["gt_bboxes"]
+        gt_valid = batch["gt_valid"]
+        gt_labels = batch["gt_labels"]
+        b = gt_bboxes.shape[0]
+        cand, cand_valid, assigned = jax.vmap(
+            lambda p, pv, gb, gv: assign_rcnn(
+                p, pv, gb, gv, dict(rcnn["assigner"]))
+        )(proposals, prop_valid, gt_bboxes, gt_valid)
+        n_cand = cand.shape[1]
+
+        rois, roi_valid = boxes_to_rois(cand, cand_valid)
+        cand_feats = self._roi_align_cfg(self.bbox_extractor_cfg, feats,
+                                         rois, roi_valid,
+                                         flat_pack=flat_pack)
+        cls_score, _ = self.bbox_head_m(cand_feats)
+        cls_score = jax.lax.stop_gradient(
+            cls_score.astype(jnp.float32))           # (B*N, nc+1)
+        nc = self.bbox_head_m.num_classes
+        bidx = jnp.arange(b)[:, None]
+        matched_labels = gt_labels[bidx, jnp.maximum(assigned - 1, 0)]
+        cand_labels = jnp.where(assigned > 0, matched_labels, nc)
+        logp = jax.nn.log_softmax(cls_score, axis=-1)
+        ce = -jnp.take_along_axis(
+            logp, cand_labels.reshape(-1, 1), axis=1)[:, 0]
+        ce = jnp.where(cand_valid.reshape(-1), ce, 0.0).reshape(b, n_cand)
+
+        res = jax.vmap(lambda l, a: ohem_sample(
+            l, a, num=sampler_cfg.get("num", 512),
+            pos_fraction=sampler_cfg.get("pos_fraction", 0.25),
+            neg_pos_ub=sampler_cfg.get("neg_pos_ub", -1)))(ce, assigned)
+        sampled_boxes = cand[bidx, res["inds"]]
+        return res, sampled_boxes
 
     def _mask_forward_train(self, feats, batch, rcnn, pos_boxes, pos_is_pos,
                             pos_gt, flat_pack=None):

@@ -289,3 +289,157 @@ class FocalLoss:
         return self.loss_weight * sigmoid_focal_loss(
             pred, target, self.gamma, self.alpha, weight, self.reduction,
             avg_factor)
+
+
+@LOSSES.register_module()
+class CIoULoss:
+    """Complete IoU (DIoU + aspect-ratio consistency term; reference:
+    ``mmdet/models/losses/iou_loss.py`` CIoULoss)."""
+
+    def __init__(self, eps=1e-7, reduction="mean", loss_weight=1.0):
+        self.eps = eps
+        self.reduction = reduction
+        self.loss_weight = loss_weight
+
+    def __call__(self, pred, target, weight=None, avg_factor=None):
+        import math
+        iou, _, ewh = iou_loss_terms(pred, target, self.eps)
+        c2 = ewh[..., 0] ** 2 + ewh[..., 1] ** 2 + self.eps
+        pc = (pred[..., :2] + pred[..., 2:]) / 2
+        tc = (target[..., :2] + target[..., 2:]) / 2
+        rho2 = jnp.sum((pc - tc) ** 2, axis=-1)
+        wp = jnp.clip(pred[..., 2] - pred[..., 0], self.eps, None)
+        hp = jnp.clip(pred[..., 3] - pred[..., 1], self.eps, None)
+        wt = jnp.clip(target[..., 2] - target[..., 0], self.eps, None)
+        ht = jnp.clip(target[..., 3] - target[..., 1], self.eps, None)
+        v = (4 / math.pi ** 2) * (jnp.arctan(wt / ht)
+                                  - jnp.arctan(wp / hp)) ** 2
+        alpha = jax.lax.stop_gradient(v / jnp.maximum(1 - iou + v, self.eps))
+        return self.loss_weight * weight_reduce_loss(
+            1 - iou + rho2 / c2 + alpha * v, weight, self.reduction,
+            avg_factor)
+
+
+@LOSSES.register_module()
+class GaussianFocalLoss:
+    """Focal loss on Gaussian-splatted heatmap targets (CenterNet family;
+    reference: ``mmdet/models/losses/gaussian_focal_loss.py``):
+    positives are heatmap==1 pixels, other pixels are down-weighted by
+    ``(1 - heatmap)^gamma``."""
+
+    def __init__(self, alpha=2.0, gamma=4.0, reduction="mean",
+                 loss_weight=1.0):
+        self.alpha = alpha
+        self.gamma = gamma
+        self.reduction = reduction
+        self.loss_weight = loss_weight
+
+    def __call__(self, pred, gaussian_target, weight=None, avg_factor=None):
+        eps = 1e-12
+        pos = (gaussian_target == 1).astype(pred.dtype)
+        neg_w = (1 - gaussian_target) ** self.gamma
+        pos_loss = -jnp.log(pred + eps) * (1 - pred) ** self.alpha * pos
+        neg_loss = -jnp.log(1 - pred + eps) * pred ** self.alpha * \
+            neg_w * (1 - pos)
+        return self.loss_weight * weight_reduce_loss(
+            pos_loss + neg_loss, weight, self.reduction, avg_factor)
+
+
+@LOSSES.register_module()
+class QualityFocalLoss:
+    """Quality focal loss (generalized focal loss part 1; reference:
+    ``mmdet/models/losses/gfocal_loss.py`` quality_focal_loss): sigmoid
+    BCE against the (soft) localization-quality score, modulated by
+    ``|score - sigmoid(pred)|^beta``.
+
+    ``target`` is a tuple ``(labels, scores)``: int class labels (bg =
+    num_classes) and the per-sample quality score of the matched gt.
+    """
+
+    def __init__(self, use_sigmoid=True, beta=2.0, reduction="mean",
+                 loss_weight=1.0):
+        assert use_sigmoid
+        self.beta = beta
+        self.reduction = reduction
+        self.loss_weight = loss_weight
+
+    def __call__(self, pred, target, weight=None, avg_factor=None):
+        labels, score = target
+        num_classes = pred.shape[-1]
+        sig = jax.nn.sigmoid(pred)
+        # all-negative baseline: target 0 everywhere
+        zerolabel = jnp.zeros_like(pred)
+        bce_all = jnp.maximum(pred, 0) - pred * zerolabel + \
+            jnp.log1p(jnp.exp(-jnp.abs(pred)))
+        loss = bce_all * sig ** self.beta
+        # positives: BCE against the quality score on the label channel
+        pos = labels < num_classes
+        onehot = jax.nn.one_hot(jnp.where(pos, labels, 0), num_classes,
+                                dtype=pred.dtype)
+        t = onehot * score[..., None]
+        bce_pos = jnp.maximum(pred, 0) - pred * t + \
+            jnp.log1p(jnp.exp(-jnp.abs(pred)))
+        mod = jnp.abs(t - sig) ** self.beta
+        loss = jnp.where(pos[..., None] & (onehot > 0), bce_pos * mod, loss)
+        loss = jnp.sum(loss, axis=-1)
+        return self.loss_weight * weight_reduce_loss(
+            loss, weight, self.reduction, avg_factor)
+
+
+@LOSSES.register_module()
+class DistributionFocalLoss:
+    """Distribution focal loss (generalized focal loss part 2; reference:
+    ``mmdet/models/losses/gfocal_loss.py`` distribution_focal_loss):
+    cross-entropy against the two integer bins bracketing the continuous
+    regression target, weighted by proximity."""
+
+    def __init__(self, reduction="mean", loss_weight=1.0):
+        self.reduction = reduction
+        self.loss_weight = loss_weight
+
+    def __call__(self, pred, target, weight=None, avg_factor=None):
+        # pred: (..., n_bins) logits over discretized offsets;
+        # target: (...,) continuous value in [0, n_bins - 1]
+        disl = jnp.floor(target).astype(jnp.int32)
+        disr = disl + 1
+        n = pred.shape[-1]
+        disl = jnp.clip(disl, 0, n - 1)
+        disr = jnp.clip(disr, 0, n - 1)
+        wl = disr.astype(pred.dtype) - target
+        wr = target - disl.astype(pred.dtype)
+        logp = jax.nn.log_softmax(pred, axis=-1)
+        ll = jnp.take_along_axis(logp, disl[..., None], axis=-1)[..., 0]
+        lr = jnp.take_along_axis(logp, disr[..., None], axis=-1)[..., 0]
+        loss = -(ll * wl + lr * wr)
+        return self.loss_weight * weight_reduce_loss(
+            loss, weight, self.reduction, avg_factor)
+
+
+@LOSSES.register_module()
+class AssociativeEmbeddingLoss:
+    """Associative embedding pull/push loss for corner grouping
+    (reference: ``mmdet/models/losses/ae_loss.py``): embeddings of the
+    same instance are pulled to their mean, means of different instances
+    are pushed apart with the margin-exponential penalty.
+
+    Padded-static formulation: ``tl``/``br`` are ``(K,)`` corner
+    embeddings for K padded instances with a ``valid`` mask.
+    """
+
+    def __init__(self, pull_weight=0.25, push_weight=0.25):
+        self.pull_weight = pull_weight
+        self.push_weight = push_weight
+
+    def __call__(self, tl, br, valid):
+        v = valid.astype(tl.dtype)
+        n = jnp.maximum(jnp.sum(v), 1.0)
+        mean = (tl + br) / 2.0
+        pull = ((tl - mean) ** 2 + (br - mean) ** 2) * v
+        pull = jnp.sum(pull) / n
+        # push: sum over pairs i != j of max(0, 1 - |e_i - e_j|)
+        diff = jnp.abs(mean[:, None] - mean[None, :])
+        pair_v = v[:, None] * v[None, :] * \
+            (1.0 - jnp.eye(tl.shape[0], dtype=tl.dtype))
+        push = jnp.maximum(0.0, 1.0 - diff) * pair_v
+        push = jnp.sum(push) / jnp.maximum(n * (n - 1.0), 1.0)
+        return self.pull_weight * pull, self.push_weight * push

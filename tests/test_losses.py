@@ -79,3 +79,73 @@ def test_giou_perfect_box_zero():
 def test_loss_registry():
     fn = build_loss(dict(type="SmoothL1Loss", loss_weight=16.0))
     assert abs(float(fn(jnp.ones(2) * 2, jnp.zeros(2))) - 16 * 1.5) < 1e-5
+
+
+def test_ciou_identical_boxes_zero():
+    from bonai_tpu.models.losses import build_loss
+    loss = build_loss(dict(type="CIoULoss"))
+    b = jnp.asarray([[0., 0., 10., 10.], [5., 5., 20., 30.]])
+    assert float(loss(b, b)) < 1e-5
+    worse = build_loss(dict(type="CIoULoss"))(
+        jnp.asarray([[0., 0., 10., 10.]]), jnp.asarray([[5., 5., 15., 15.]]))
+    assert float(worse) > 0.1
+
+
+def test_gaussian_focal_hand_math():
+    from bonai_tpu.models.losses import build_loss
+    loss = build_loss(dict(type="GaussianFocalLoss", alpha=2.0, gamma=4.0,
+                           reduction="none"))
+    pred = jnp.asarray([0.9, 0.2])
+    target = jnp.asarray([1.0, 0.5])
+    got = np.asarray(loss(pred, target))
+    exp0 = -np.log(0.9 + 1e-12) * (1 - 0.9) ** 2
+    exp1 = -np.log(1 - 0.2 + 1e-12) * 0.2 ** 2 * (1 - 0.5) ** 4
+    np.testing.assert_allclose(got, [exp0, exp1], rtol=1e-5)
+
+
+def test_quality_focal_hand_math():
+    from bonai_tpu.models.losses import build_loss
+    loss = build_loss(dict(type="QualityFocalLoss", beta=2.0,
+                           reduction="none"))
+    pred = jnp.asarray([[2.0, -1.0]])           # 2 classes
+    labels = jnp.asarray([0])                   # positive for class 0
+    score = jnp.asarray([0.7])
+    got = float(np.asarray(loss(pred, (labels, score)))[0])
+
+    def bce(x, t):
+        return max(x, 0) - x * t + np.log1p(np.exp(-abs(x)))
+    s0, s1 = 1 / (1 + np.exp(-2.0)), 1 / (1 + np.exp(1.0))
+    exp = bce(2.0, 0.7) * abs(0.7 - s0) ** 2 + bce(-1.0, 0.0) * s1 ** 2
+    np.testing.assert_allclose(got, exp, rtol=1e-5)
+    # background sample: pure all-negative focal term
+    got_bg = float(np.asarray(loss(pred, (jnp.asarray([2]), score)))[0])
+    exp_bg = bce(2.0, 0.0) * s0 ** 2 + bce(-1.0, 0.0) * s1 ** 2
+    np.testing.assert_allclose(got_bg, exp_bg, rtol=1e-5)
+
+
+def test_distribution_focal_hand_math():
+    from bonai_tpu.models.losses import build_loss
+    loss = build_loss(dict(type="DistributionFocalLoss", reduction="none"))
+    pred = jnp.asarray([[1.0, 2.0, 0.5, -1.0]])
+    target = jnp.asarray([1.3])
+    logp = np.log(np.exp([1.0, 2.0, 0.5, -1.0])
+                  / np.exp([1.0, 2.0, 0.5, -1.0]).sum())
+    exp = -(logp[1] * 0.7 + logp[2] * 0.3)
+    np.testing.assert_allclose(float(np.asarray(loss(pred, target))[0]),
+                               exp, rtol=1e-5)
+
+
+def test_ae_loss_pull_push():
+    from bonai_tpu.models.losses import build_loss
+    loss = build_loss(dict(type="AssociativeEmbeddingLoss",
+                           pull_weight=1.0, push_weight=1.0))
+    tl = jnp.asarray([1.0, 5.0, 99.0])
+    br = jnp.asarray([1.0, 5.0, -99.0])
+    valid = jnp.asarray([True, True, False])
+    pull, push = loss(tl, br, valid)
+    assert float(pull) < 1e-6            # identical pairs: no pull
+    assert float(push) < 1e-6            # means 1 and 5 far apart: no push
+    tl2 = jnp.asarray([1.0, 1.2, 0.0])
+    br2 = jnp.asarray([1.0, 1.2, 0.0])
+    _, push2 = loss(tl2, br2, valid)
+    assert float(push2) > 0.3            # close means are pushed
