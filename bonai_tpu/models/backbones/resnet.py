@@ -155,13 +155,18 @@ class ResNet(nn.Module):
 
         outs = []
         planes = self.base_channels
+        in_ch = self.base_channels
+        expansion = 4 if block_cls is Bottleneck else 1
         for stage in range(self.num_stages):
             num_blocks = stage_blocks[stage]
             stride = 1 if stage == 0 else 2
             for b in range(num_blocks):
+                # identity shortcut when shape is preserved (torch ResNet:
+                # BasicBlock stage 1 has no downsample conv)
+                ds = b == 0 and (stride != 1 or in_ch != planes * expansion)
                 kwargs = dict(planes=planes,
                               stride=stride if b == 0 else 1,
-                              downsample=(b == 0),
+                              downsample=ds,
                               dtype=self.dtype,
                               name=f"layer{stage + 1}_{b}")
                 if block_cls is Bottleneck:
@@ -172,6 +177,7 @@ class ResNet(nn.Module):
                 x = jax.lax.stop_gradient(x)
             if stage in self.out_indices:
                 outs.append(x)
+            in_ch = planes * expansion
             planes *= 2
         return tuple(outs)
 
