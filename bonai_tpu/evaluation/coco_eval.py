@@ -123,6 +123,93 @@ def coco_ap(per_image, iou_thrs=IOU_THRS, max_dets=100, area_rng=None):
                 ar=float(ar_per_thr.mean()))
 
 
+def coco_pr_curve(per_image, iou_thr, max_dets=100):
+    """101-point interpolated precision-over-recall curve for one
+    (category, IoU threshold) — the building block of the error-analysis
+    tools (the reference reads ``cocoEval.eval['precision']``)."""
+    all_scores, all_tp, all_ig = [], [], []
+    npig = 0
+    for rec in per_image:
+        scores = np.asarray(rec["scores"])[:max_dets]
+        ious = np.asarray(rec["ious"])[:max_dets]
+        gt_ignore = np.asarray(rec["gt_ignore"], bool)
+        npig += int((~gt_ignore).sum())
+        all_scores.append(scores)
+        match, dig = _match_image(scores, ious, gt_ignore, iou_thr)
+        all_tp.append((match >= 0) & ~dig)
+        all_ig.append(dig)
+    if npig == 0:
+        return REC_THRS, np.zeros(len(REC_THRS))
+    scores = np.concatenate(all_scores) if all_scores else np.zeros(0)
+    order = np.argsort(-scores, kind="mergesort")
+    tp = np.concatenate(all_tp)[order] if all_tp else np.zeros(0, bool)
+    ig = np.concatenate(all_ig)[order] if all_ig else np.zeros(0, bool)
+    tp = tp[~ig.astype(bool)]
+    tp_cum = np.cumsum(tp)
+    fp_cum = np.cumsum(~tp)
+    rc = tp_cum / npig
+    pr = tp_cum / np.maximum(tp_cum + fp_cum, 1e-9)
+    for i in range(len(pr) - 1, 0, -1):
+        pr[i - 1] = max(pr[i - 1], pr[i])
+    inds = np.searchsorted(rc, REC_THRS, side="left")
+    q = np.zeros(len(REC_THRS))
+    for ri, pi in enumerate(inds):
+        if pi < len(pr):
+            q[ri] = pr[pi]
+    return REC_THRS, q
+
+
+def per_image_records(dataset, results, cls, metric="bbox",
+                      ignore_other_classes=False):
+    """Per-image match records for class ``cls`` (input to
+    :func:`coco_ap` / :func:`coco_pr_curve`).
+
+    ``ignore_other_classes``: other-class GT boxes join the pool as
+    ignore regions (the error-analysis 'Oth'/'Sim' mode — reference
+    ``tools/coco_error_analysis_f1.py`` ``analyze_individual_category``).
+    """
+    out = []
+    for i in range(len(results)):
+        res = results[i]
+        if isinstance(res, tuple):
+            bbox_r, segm_r = res[0], (res[1] if len(res) > 1 else None)
+        else:
+            bbox_r, segm_r = res, None
+        ann = dataset.get_ann_info(i)
+        sel = ann["labels"] == cls
+        if ignore_other_classes:
+            order = np.concatenate([np.nonzero(sel)[0],
+                                    np.nonzero(~sel)[0]])
+            gt_boxes = ann["bboxes"][order]
+            gt_ignore = np.concatenate(
+                [np.zeros(int(sel.sum()), bool),
+                 np.ones(int((~sel).sum()), bool)])
+        else:
+            gt_boxes = ann["bboxes"][sel]
+            gt_ignore = np.zeros(len(gt_boxes), bool)
+        dets = np.asarray(bbox_r[cls], np.float32).reshape(-1, 5)
+        if metric == "bbox":
+            ious = _bbox_iou_np(dets[:, :4], gt_boxes,
+                                iscrowd=gt_ignore
+                                if ignore_other_classes else None)
+        else:
+            info = dataset.data_infos[i]
+            h, w = info["height"], info["width"]
+            if ignore_other_classes:
+                keep = list(order)
+            else:
+                keep = list(np.nonzero(sel)[0])
+            gt_rles = [mask_utils.encode_mask(
+                mask_utils.poly_to_mask(ann["masks"][j], h, w))
+                for j in keep]
+            det_rles = segm_r[cls] if segm_r else []
+            ious = mask_utils.mask_iou(det_rles, gt_rles) \
+                if det_rles and gt_rles else np.zeros(
+                    (len(det_rles), len(gt_rles)))
+        out.append(dict(scores=dets[:, 4], ious=ious, gt_ignore=gt_ignore))
+    return out
+
+
 def evaluate_coco(dataset, results, metric_types=("bbox",), max_dets=100):
     """Evaluate result tuples against a CocoDataset.
 

@@ -122,3 +122,56 @@ def test_bbox_iou_np():
     iou = _bbox_iou_np(a, b)
     assert abs(iou[0, 0] - 1.0) < 1e-6
     assert abs(iou[0, 1] - 25 / 175) < 1e-6
+
+
+def test_coco_pr_curve_perfect_and_miss():
+    from bonai_tpu.evaluation.coco_eval import coco_pr_curve
+    # one image, 2 gts, 2 perfect dets + 1 low-score FP
+    rec = dict(scores=np.asarray([0.9, 0.8, 0.1]),
+               ious=np.asarray([[1.0, 0.0], [0.0, 1.0], [0.0, 0.0]]),
+               gt_ignore=np.zeros(2, bool))
+    rs, q = coco_pr_curve([rec], 0.5)
+    # both gts matched before the FP -> precision 1 at every recall point
+    assert q[0] == 1.0 and q[50] == 1.0 and q[100] == 1.0
+    # at IoU 0.75 with the same records everything still matches (IoU 1.0)
+    _, q75 = coco_pr_curve([rec], 0.75)
+    assert q75[100] == 1.0
+    # drop one gt's match: recall saturates at 0.5, envelope 0 past it
+    rec2 = dict(scores=np.asarray([0.9, 0.8]),
+                ious=np.asarray([[1.0, 0.0], [0.0, 0.4]]),
+                gt_ignore=np.zeros(2, bool))
+    _, qh = coco_pr_curve([rec2], 0.5)
+    assert qh[50] == 1.0 and qh[51] == 0.0
+
+
+def test_error_analysis_tool(tmp_path):
+    import sys as _sys
+    import os.path as _osp
+    _sys.path.insert(0, _osp.join(_osp.dirname(_osp.dirname(
+        _osp.abspath(__file__))), "tools"))
+    from coco_error_analysis_f1 import analyze, compute_curves
+    from helpers import make_bonai_dataset
+    from bonai_tpu.datasets import build_dataset
+    jp, imgd = make_bonai_dataset(str(tmp_path), num_images=2, size=128,
+                                  buildings_per_img=3)
+    ds = build_dataset(dict(type="BONAI", ann_file=jp, img_prefix=imgd,
+                            test_mode=True, bbox_type="building",
+                            mask_type="roof",
+                            pipeline=[dict(type="LoadImageFromFile"),
+                                      dict(type="Collect", keys=["img"])]))
+    # perfect detections: the gt building boxes with score 0.9
+    results = []
+    for i in range(2):
+        ann = ds.get_ann_info(i)
+        dets = np.concatenate([ann["bboxes"],
+                               np.full((len(ann["bboxes"]), 1), 0.9)], 1)
+        results.append(([dets.astype(np.float32)],))
+    rs, ps = compute_curves(ds, results, 0, "bbox")
+    assert ps.shape == (7, 101)
+    # perfect dets -> C50 curve is 1 up to recall 1
+    assert ps[1, 100] == 1.0
+    # curves are stacked monotone: C75 <= C50 <= ... <= FN
+    assert (np.diff(ps, axis=0) >= -1e-9).all()
+    out = analyze(results, ds, str(tmp_path / "out"), ("bbox",))
+    assert (tmp_path / "out" / "bbox" / "maxF1score.txt").exists()
+    assert (tmp_path / "out" / "bbox" / "bbox-building-F1.png").exists()
