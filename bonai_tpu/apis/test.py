@@ -230,7 +230,27 @@ def run_inference(model, variables, loader, eval_step=None, max_images=None,
         from jax.sharding import NamedSharding, PartitionSpec as P
         sharding = NamedSharding(mesh, P("data"))
     if eval_step is None:
-        if tta:
+        if tta and tta.get("mode", "det") == "proposal":
+            # reference-parity proposal-level merge
+            # (TwoStageDetector.aug_test == merge_aug_proposals/_bboxes/
+            # _masks); one jitted multi-view step
+            scales = tuple(tta.get("scales", (1.0,)))
+            dirs = (None,)
+            if tta.get("flip", False):
+                dirs = (None,) + tuple(tta.get("flip_directions",
+                                               ("horizontal",)))
+            fn = (lambda v, img, shp, sf: model.apply(
+                v, img, shp, sf, scales=scales, flip_directions=dirs,
+                method="aug_test"))
+            eval_step = fn if mesh is not None else jax.jit(fn)
+            if mesh is not None:
+                from ..engine.train_step import shard_map
+                from jax.sharding import PartitionSpec as P
+                eval_step = jax.jit(shard_map(
+                    eval_step, mesh=mesh,
+                    in_specs=(P(), P("data"), P("data"), P("data")),
+                    out_specs=P("data")))
+        elif tta:
             eval_step = make_tta_step(
                 model, scales=tuple(tta.get("scales", (1.0,))),
                 flip=bool(tta.get("flip", False)),

@@ -322,19 +322,91 @@ class RandomFlip:
 
 @PIPELINES.register_module()
 class RandomRotate:
-    """k*90° rotation of image/boxes/masks/offsets (reference
-    ``transforms.py:1836-2094``; offsets rotate via xy→(len,θ)→θ−a→xy).
-    Restricted to multiples of 90° so boxes stay axis-aligned and exact."""
+    """Rotation of image/boxes/masks/offsets/dense maps (reference
+    ``transforms.py:1836-2094``).
+
+    Multiples of 90° take the exact lossless path (``np.rot90`` +
+    integer coordinate remap).  Arbitrary angles follow the reference's
+    method: image via warpAffine about the centre (``mmcv.imrotate``
+    ``auto_bound=False``), boxes via the 4-corner transform + min/max
+    AABB (``bbox_rotate``), polygon masks by transforming their points,
+    offsets/offset-fields by adding the angle in polar form
+    (``offset_rotate``/``offset_field_rotate``), edge/side-face maps by
+    nearest-neighbour warp.  Unlike the reference we keep the box
+    transform on the same fixed canvas as the image (the reference's
+    ``bbox_rotate`` shifts corners onto an auto-bound canvas the image
+    never gets, reference ``transforms.py:1995-1999``).
+
+    ``angles="any"`` draws from 0..359° (reference ``choice`` str path).
+    """
 
     def __init__(self, rotate_ratio=0.5, angles=(90, 180, 270)):
         self.rotate_ratio = rotate_ratio
-        self.angles = list(angles)
+        if isinstance(angles, str):
+            self.angles = list(range(0, 360))
+        else:
+            self.angles = list(angles)
+
+    @staticmethod
+    def _rotate_points(xy, M):
+        """Apply a 2x3 affine to (N, 2) points."""
+        return xy @ M[:, :2].T + M[:, 2]
+
+    def _rotate_general(self, results, angle):
+        import cv2
+        h, w = results["img_shape"][:2]
+        cx, cy = (w - 1) * 0.5, (h - 1) * 0.5
+        M = cv2.getRotationMatrix2D((cx, cy), angle, 1.0)
+        results["img"] = cv2.warpAffine(results["img"], M, (w, h),
+                                        flags=cv2.INTER_LINEAR)
+        results["img_shape"] = results["img"].shape[:2]
+
+        def rot_boxes(b):
+            if not len(b):
+                return b
+            corners = np.stack([b[:, 0], b[:, 1], b[:, 2], b[:, 1],
+                                b[:, 2], b[:, 3], b[:, 0], b[:, 3]],
+                               -1).reshape(-1, 2)
+            r = self._rotate_points(corners, M).reshape(-1, 4, 2)
+            out = np.concatenate([r.min(1), r.max(1)],
+                                 -1).astype(np.float32)
+            out[:, 0::2] = out[:, 0::2].clip(0, w)
+            out[:, 1::2] = out[:, 1::2].clip(0, h)
+            return out
+
+        for key in ("gt_bboxes", "gt_footprint_bboxes"):
+            if key in results:
+                results[key] = rot_boxes(results[key])
+        if "gt_masks" in results:
+            results["gt_masks"] = [
+                [self._rotate_points(p, M).astype(np.float32) for p in inst]
+                for inst in results["gt_masks"]]
+        a = math.radians(angle)
+        c, s = math.cos(a), math.sin(a)
+        if "gt_offsets" in results and len(results["gt_offsets"]):
+            o = results["gt_offsets"]
+            x, y = o[:, 0], o[:, 1]
+            results["gt_offsets"] = np.stack(
+                [x * c + y * s, -x * s + y * c], -1).astype(np.float32)
+        for key in results.get("edge_fields", []) + \
+                results.get("side_face_fields", []):
+            results[key] = cv2.warpAffine(results[key], M, (w, h),
+                                          flags=cv2.INTER_NEAREST)
+        for key in results.get("offset_field_fields", []):
+            f = cv2.warpAffine(results[key], M, (w, h),
+                               flags=cv2.INTER_NEAREST)
+            fx, fy = f[..., 0], f[..., 1]
+            results[key] = np.stack(
+                [fx * c + fy * s, -fx * s + fy * c], -1).astype(np.float32)
+        return results
 
     def __call__(self, results):
         rng = results.setdefault("_rng", np.random.RandomState())
         if rng.rand() >= self.rotate_ratio:
             return results
         angle = self.angles[rng.randint(len(self.angles))]
+        if angle % 90 != 0:
+            return self._rotate_general(results, angle)
         k = (angle // 90) % 4
         if k == 0:
             return results
@@ -350,13 +422,14 @@ class RandomRotate:
                 hh, ww = ww, hh
             return x, y
 
-        if "gt_bboxes" in results and len(results["gt_bboxes"]):
-            b = results["gt_bboxes"]
-            x1, y1 = rotate_xy(b[:, 0].copy(), b[:, 1].copy(), h, w)
-            x2, y2 = rotate_xy(b[:, 2].copy(), b[:, 3].copy(), h, w)
-            results["gt_bboxes"] = np.stack(
-                [np.minimum(x1, x2), np.minimum(y1, y2),
-                 np.maximum(x1, x2), np.maximum(y1, y2)], -1)
+        for key in ("gt_bboxes", "gt_footprint_bboxes"):
+            if key in results and len(results[key]):
+                b = results[key]
+                x1, y1 = rotate_xy(b[:, 0].copy(), b[:, 1].copy(), h, w)
+                x2, y2 = rotate_xy(b[:, 2].copy(), b[:, 3].copy(), h, w)
+                results[key] = np.stack(
+                    [np.minimum(x1, x2), np.minimum(y1, y2),
+                     np.maximum(x1, x2), np.maximum(y1, y2)], -1)
         if "gt_masks" in results:
             out = []
             for inst in results["gt_masks"]:
@@ -373,6 +446,16 @@ class RandomRotate:
             x, y = o[:, 0], o[:, 1]
             results["gt_offsets"] = np.stack(
                 [x * c + y * s, -x * s + y * c], -1).astype(np.float32)
+        for key in results.get("edge_fields", []) + \
+                results.get("side_face_fields", []):
+            results[key] = np.ascontiguousarray(np.rot90(results[key], k=k))
+        for key in results.get("offset_field_fields", []):
+            f = np.ascontiguousarray(np.rot90(results[key], k=k))
+            a = math.radians(angle)
+            c, s = math.cos(a), math.sin(a)
+            fx, fy = f[..., 0], f[..., 1]
+            results[key] = np.stack(
+                [fx * c + fy * s, -fx * s + fy * c], -1).astype(np.float32)
         return results
 
 
@@ -653,7 +736,18 @@ class Collect:
         self.meta_keys = list(meta_keys or self.DEFAULT_META)
 
     def __call__(self, results):
-        out = {k: results.get(k) for k in self.keys}
+        out = {}
+        for k in self.keys:
+            if k in results:
+                out[k] = results[k]
+            else:
+                # reference Collect raises KeyError on a missing key; we
+                # warn and drop so optional GT heads degrade loudly but
+                # non-fatally (a None here would poison the packed batch)
+                import warnings
+                warnings.warn(
+                    f"Collect: key '{k}' not produced by the pipeline "
+                    "(check the LoadAnnotations with_* flags)")
         out["img_metas"] = {m: results.get(m) for m in self.meta_keys}
         # meta values stay top-level too (the pack stage reads img_shape,
         # scale_factor, flip directly)

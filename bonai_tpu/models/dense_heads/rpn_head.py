@@ -90,13 +90,16 @@ def rpn_targets(rng, anchors, gt_bboxes, gt_valid, assigner_cfg, sampler_cfg):
 
 
 def rpn_loss(cls_scores, bbox_preds, anchors_flat, gt_bboxes, gt_valid,
-             rng, train_cfg):
+             rng, train_cfg, reg_weight=None):
     """Batched RPN loss.
 
     Args:
       cls_scores / bbox_preds: per-level ``(B, H, W, A)`` / ``(B, H, W, A*4)``.
       anchors_flat: ``(A_total, 4)`` concatenated level anchors (host const).
       gt_bboxes: ``(B, G, 4)``; gt_valid ``(B, G)``.
+      reg_weight: optional ``(B,)`` per-image regression weight
+        (SemiRPNHead zeroes reg for footprint-only images,
+        reference ``semi_rpn_head.py:146``).
 
     reference loss normalisation (``anchor_head.py:382-428``): both cls and
     reg averaged by total sampled anchors.
@@ -117,6 +120,8 @@ def rpn_loss(cls_scores, bbox_preds, anchors_flat, gt_bboxes, gt_valid,
     num_total = jnp.maximum(jnp.sum(ns), 1.0)
     loss_cls = binary_cross_entropy(cls_flat, labels, lw,
                                     avg_factor=num_total)
+    if reg_weight is not None:
+        bw = bw * reg_weight[:, None, None]
     loss_bbox = l1_loss(reg_flat, bt, bw, avg_factor=num_total)
     return {"loss_rpn_cls": loss_cls, "loss_rpn_bbox": loss_bbox}
 

@@ -56,28 +56,47 @@ def assign_rcnn(proposals, proposal_valid, gt_bboxes, gt_valid,
     positives).  reference: ``standard_roi_head.py:70-104``."""
     cand = jnp.concatenate([gt_bboxes, proposals], axis=0)
     cand_valid = jnp.concatenate([gt_valid, proposal_valid], axis=0)
-    assigned, _ = max_iou_assign(
+    assigned, max_ov = max_iou_assign(
         cand, gt_bboxes, gt_valid,
         pos_iou_thr=assigner_cfg.get("pos_iou_thr", 0.5),
         neg_iou_thr=assigner_cfg.get("neg_iou_thr", 0.5),
         min_pos_iou=assigner_cfg.get("min_pos_iou", 0.5),
         match_low_quality=assigner_cfg.get("match_low_quality", True),
         box_valid=cand_valid)
-    return cand, cand_valid, assigned
+    return cand, cand_valid, assigned, max_ov
 
 
 def assign_and_sample_rcnn(rng, proposals, proposal_valid, gt_bboxes,
                            gt_valid, assigner_cfg, sampler_cfg):
-    """Single-image assign + random sample (reference
+    """Single-image assign + sample (reference
     ``standard_roi_head.py:70-104`` + ``base_sampler.py`` sample()).
+    Dispatches on the sampler type (Random / IoUBalancedNeg /
+    InstanceBalancedPos); the loss-ranked samplers (OHEM, ScoreHLR) need
+    head context and live in ``TwoStageDetector._hard_mining_sample``.
     Returns the sample dict plus the sampled candidate boxes ``(num, 4)``.
     """
-    cand, cand_valid, assigned = assign_rcnn(
+    cand, cand_valid, assigned, max_ov = assign_rcnn(
         proposals, proposal_valid, gt_bboxes, gt_valid, assigner_cfg)
-    res = random_sample(rng, assigned,
-                        num=sampler_cfg.get("num", 512),
-                        pos_fraction=sampler_cfg.get("pos_fraction", 0.25),
-                        neg_pos_ub=sampler_cfg.get("neg_pos_ub", -1))
+    num = sampler_cfg.get("num", 512)
+    pos_fraction = sampler_cfg.get("pos_fraction", 0.25)
+    neg_pos_ub = sampler_cfg.get("neg_pos_ub", -1)
+    stype = sampler_cfg.get("type", "RandomSampler")
+    if stype == "IoUBalancedNegSampler":
+        from ...core.samplers import iou_balanced_neg_sample
+        res = iou_balanced_neg_sample(
+            rng, assigned, max_ov, num, pos_fraction,
+            floor_thr=sampler_cfg.get("floor_thr", -1),
+            floor_fraction=sampler_cfg.get("floor_fraction", 0.0),
+            num_bins=sampler_cfg.get("num_bins", 3),
+            neg_pos_ub=neg_pos_ub)
+    elif stype == "InstanceBalancedPosSampler":
+        from ...core.samplers import instance_balanced_pos_sample
+        res = instance_balanced_pos_sample(rng, assigned, num, pos_fraction,
+                                           neg_pos_ub=neg_pos_ub)
+    else:
+        res = random_sample(rng, assigned, num=num,
+                            pos_fraction=pos_fraction,
+                            neg_pos_ub=neg_pos_ub)
     sampled_boxes = cand[res["inds"]]
     return res, sampled_boxes
 
@@ -270,19 +289,32 @@ class TwoStageDetector(nn.Module):
         rng_rpn, rng_rcnn = jax.random.split(rng)
 
         feats = self.extract_feat(img)
+        img_losses, img_aux = self._image_level_train(feats, batch)
         proposal_cfg = dict(self.train_cfg.get("rpn_proposal", {}))
         (cls_scores, bbox_preds, anchors_levels, proposals, _,
          prop_valid) = self._rpn_and_proposals(feats, img_shape, proposal_cfg)
 
         anchors_flat = jnp.concatenate(anchors_levels, axis=0)
         rpn_gt = gt_bboxes
+        rpn_reg_weight = None
         if self.semi_rpn and "gt_footprint_bboxes" in batch:
             flag = batch.get("gt_only_footprint_flag",
                              jnp.zeros(gt_bboxes.shape[0]))
             rpn_gt = jnp.where(flag[:, None, None] > 0.5,
                                batch["gt_footprint_bboxes"], gt_bboxes)
+            # footprint-only images supervise RPN cls but NOT reg
+            # (reference semi_rpn_head.py:146 ``bbox_weights[pos] = 1 -
+            # flag``) — unless the angle head predicts near-nadir (<10°),
+            # where footprint≈roof and reg is re-enabled
+            # (semi_rpn_head.py:51-60).
+            if "angle_pred" in img_aux:
+                deg = jnp.abs(img_aux["angle_pred"][:, 0]) * (180.0 / jnp.pi)
+                flag = flag * (deg >= 10.0).astype(flag.dtype)
+            rpn_reg_weight = 1.0 - flag
         losses = rpn_loss(cls_scores, bbox_preds, anchors_flat, rpn_gt,
-                          gt_valid, rng_rpn, dict(self.train_cfg["rpn"]))
+                          gt_valid, rng_rpn, dict(self.train_cfg["rpn"]),
+                          reg_weight=rpn_reg_weight)
+        losses.update(img_losses)
 
         proposals = jax.lax.stop_gradient(proposals)
         losses.update(self._roi_forward_train(
@@ -301,8 +333,9 @@ class TwoStageDetector(nn.Module):
 
         flat_pack = self._flat_pack(feats)
         rngs = jax.random.split(rng, b)
-        if sampler_cfg.get("type", "RandomSampler") == "OHEMSampler":
-            res, sampled_boxes = self._ohem_assign_and_sample(
+        if sampler_cfg.get("type", "RandomSampler") in ("OHEMSampler",
+                                                        "ScoreHLRSampler"):
+            res, sampled_boxes = self._hard_mining_assign_and_sample(
                 feats, proposals, prop_valid, batch, rcnn, sampler_cfg,
                 flat_pack)
         else:
@@ -331,6 +364,8 @@ class TwoStageDetector(nn.Module):
         n_tot = b * num
         labels_f = labels.reshape(n_tot)
         label_w_f = label_w.reshape(n_tot)
+        if "neg_label_weights" in res:       # ScoreHLR ISR-N reweighting
+            label_w_f = label_w_f * res["neg_label_weights"].reshape(n_tot)
         avg_cls = jnp.maximum(jnp.sum(label_w_f > 0), 1.0)
         loss_cls = cross_entropy(cls_score, labels_f, label_w_f,
                                  avg_factor=avg_cls)
@@ -358,19 +393,23 @@ class TwoStageDetector(nn.Module):
             feats, batch, rcnn, pos_boxes, pos_is_pos, pos_gt, flat_pack))
         return losses
 
-    def _ohem_assign_and_sample(self, feats, proposals, prop_valid, batch,
-                                rcnn, sampler_cfg, flat_pack):
-        """OHEM sampling: rank candidates by a no-grad bbox-head
-        classification loss (reference
-        ``mmdet/core/bbox/samplers/ohem_sampler.py`` ``hard_mining`` —
-        RoIAlign + head forward under ``torch.no_grad`` + ``loss.topk``).
+    def _hard_mining_assign_and_sample(self, feats, proposals, prop_valid,
+                                       batch, rcnn, sampler_cfg, flat_pack):
+        """Loss/score-ranked sampling needing head context.
+
+        OHEM (reference ``mmdet/core/bbox/samplers/ohem_sampler.py``
+        ``hard_mining``): rank candidates by a no-grad bbox-head
+        classification loss (RoIAlign + head forward under
+        ``torch.no_grad`` + ``loss.topk``).
+        ScoreHLR (``score_hlr_sampler.py``): rank negatives by their max
+        foreground softmax score and emit ISR-N label weights.
         """
-        from ...core.samplers import ohem_sample
+        from ...core.samplers import ohem_sample, score_hlr_neg_sample
         gt_bboxes = batch["gt_bboxes"]
         gt_valid = batch["gt_valid"]
         gt_labels = batch["gt_labels"]
         b = gt_bboxes.shape[0]
-        cand, cand_valid, assigned = jax.vmap(
+        cand, cand_valid, assigned, _ = jax.vmap(
             lambda p, pv, gb, gv: assign_rcnn(
                 p, pv, gb, gv, dict(rcnn["assigner"]))
         )(proposals, prop_valid, gt_bboxes, gt_valid)
@@ -385,17 +424,33 @@ class TwoStageDetector(nn.Module):
             cls_score.astype(jnp.float32))           # (B*N, nc+1)
         nc = self.bbox_head_m.num_classes
         bidx = jnp.arange(b)[:, None]
-        matched_labels = gt_labels[bidx, jnp.maximum(assigned - 1, 0)]
-        cand_labels = jnp.where(assigned > 0, matched_labels, nc)
-        logp = jax.nn.log_softmax(cls_score, axis=-1)
-        ce = -jnp.take_along_axis(
-            logp, cand_labels.reshape(-1, 1), axis=1)[:, 0]
-        ce = jnp.where(cand_valid.reshape(-1), ce, 0.0).reshape(b, n_cand)
 
-        res = jax.vmap(lambda l, a: ohem_sample(
-            l, a, num=sampler_cfg.get("num", 512),
-            pos_fraction=sampler_cfg.get("pos_fraction", 0.25),
-            neg_pos_ub=sampler_cfg.get("neg_pos_ub", -1)))(ce, assigned)
+        if sampler_cfg.get("type") == "ScoreHLRSampler":
+            probs = jax.nn.softmax(cls_score, axis=-1)
+            max_fg = jnp.max(probs[:, :nc], axis=-1)
+            max_fg = jnp.where(cand_valid.reshape(-1), max_fg,
+                               0.0).reshape(b, n_cand)
+            rngs = jax.random.split(self.make_rng("sampling"), b)
+            res = jax.vmap(lambda r, s, a: score_hlr_neg_sample(
+                r, a, s, num=sampler_cfg.get("num", 512),
+                pos_fraction=sampler_cfg.get("pos_fraction", 0.25),
+                score_thr=sampler_cfg.get("score_thr", 0.05),
+                bias=sampler_cfg.get("bias", 0.0),
+                k=sampler_cfg.get("k", 0.5),
+                neg_pos_ub=sampler_cfg.get("neg_pos_ub", -1)))(
+                rngs, max_fg, assigned)
+        else:
+            matched_labels = gt_labels[bidx, jnp.maximum(assigned - 1, 0)]
+            cand_labels = jnp.where(assigned > 0, matched_labels, nc)
+            logp = jax.nn.log_softmax(cls_score, axis=-1)
+            ce = -jnp.take_along_axis(
+                logp, cand_labels.reshape(-1, 1), axis=1)[:, 0]
+            ce = jnp.where(cand_valid.reshape(-1), ce,
+                           0.0).reshape(b, n_cand)
+            res = jax.vmap(lambda l, a: ohem_sample(
+                l, a, num=sampler_cfg.get("num", 512),
+                pos_fraction=sampler_cfg.get("pos_fraction", 0.25),
+                neg_pos_ub=sampler_cfg.get("neg_pos_ub", -1)))(ce, assigned)
         sampled_boxes = cand[bidx, res["inds"]]
         return res, sampled_boxes
 
@@ -430,6 +485,13 @@ class TwoStageDetector(nn.Module):
     def _extra_forward_train(self, feats, batch, rcnn, pos_boxes, pos_is_pos,
                              pos_gt, flat_pack=None):
         return {}
+
+    def _image_level_train(self, feats, batch):
+        """Hook for image-level auxiliary heads (e.g. the LOFT angle
+        head).  Returns ``(losses, aux)``; ``aux`` may carry predictions
+        consumed elsewhere in the step (``angle_pred`` gates the semi-RPN
+        flag, reference ``semi_rpn_head.py:51-60``)."""
+        return {}, {}
 
     # ---------------- inference ----------------
     def simple_test(self, img, img_shape, scale_factor):
@@ -488,6 +550,164 @@ class TwoStageDetector(nn.Module):
     def _extra_simple_test(self, feats, det_boxes, det_valid, img_shape,
                            scale_factor, flat_pack=None):
         return {}
+
+    # ---------------- proposal-level TTA ----------------
+    def aug_test(self, img, img_shape, scale_factor, scales=(1.0,),
+                 flip_directions=(None, "horizontal")):
+        """Reference-style proposal-level TTA in one compiled step.
+
+        reference flow: ``two_stage.py:201-211`` (aug_test) →
+        ``test_mixins.py`` aug_test_bboxes + ``merge_augs.py:8-117``:
+        (1) RPN proposals from every (scale × flip) view are mapped back
+        to the base frame and NMS-merged (``merge_aug_proposals``);
+        (2) the merged RoIs are re-scored in EVERY view, decoded boxes
+        and class scores are averaged (``merge_aug_bboxes``) before one
+        final multiclass NMS; (3) mask probabilities are computed per
+        view, un-flipped, and averaged (``merge_aug_masks``); extra
+        branches (offsets) are averaged with flip-polarity correction.
+
+        Flip views mirror the whole padded canvas (same caveat as
+        ``apis/test.py:make_tta_step``): exact when the canvas equals
+        the valid region (BONAI's size-divisor-aligned 1024² tiles).
+        """
+        from ...core.nms import nms as nms_keep
+        test_rpn = dict(self.test_cfg.get("rpn", {}))
+        rcnn = dict(self.test_cfg["rcnn"])
+        b = img.shape[0]
+        pad_h, pad_w = float(img.shape[1]), float(img.shape[2])
+
+        def _flip_boxes(boxes, ph, pw, direction):
+            x1, y1, x2, y2 = (boxes[..., 0], boxes[..., 1],
+                              boxes[..., 2], boxes[..., 3])
+            if direction == "horizontal":
+                return jnp.stack([pw - x2, y1, pw - x1, y2], -1)
+            return jnp.stack([x1, ph - y2, x2, ph - y1], -1)
+
+        # ---- build static view list: (feats, shape_v, (sy, sx),
+        #      direction, (ph, pw))
+        views = []
+        for s in scales:
+            if s == 1.0:
+                img_s, shape_s = img, img_shape
+                sy = sx = 1.0
+                ph, pw = pad_h, pad_w
+            else:
+                nh = max(int(round(pad_h * s / 32)) * 32, 32)
+                nw = max(int(round(pad_w * s / 32)) * 32, 32)
+                sy, sx = nh / pad_h, nw / pad_w
+                img_s = jax.image.resize(
+                    img, (b, nh, nw, img.shape[3]), method="bilinear")
+                shape_s = img_shape * jnp.asarray([sy, sx])
+                ph, pw = float(nh), float(nw)
+            for direction in flip_directions:
+                img_v = img_s if direction is None else \
+                    jnp.flip(img_s, 2 if direction == "horizontal" else 1)
+                feats = self.extract_feat(img_v)
+                views.append((feats, shape_s, (sy, sx), direction,
+                              (ph, pw)))
+
+        # ---- (1) merge proposals across views (merge_aug_proposals)
+        all_props, all_scores, all_valid = [], [], []
+        for feats, shape_v, (sy, sx), direction, (ph, pw) in views:
+            (_, _, _, props, pscores,
+             pvalid) = self._rpn_and_proposals(feats, shape_v, test_rpn)
+            if direction is not None:
+                props = _flip_boxes(props, ph, pw, direction)
+            props = props / jnp.asarray([sx, sy, sx, sy])
+            all_props.append(props)
+            all_scores.append(pscores)
+            all_valid.append(pvalid)
+        cat_props = jnp.concatenate(all_props, axis=1)
+        cat_scores = jnp.concatenate(all_scores, axis=1)
+        cat_valid = jnp.concatenate(all_valid, axis=1)
+        max_num = int(test_rpn.get("max_num", 1000))
+        nms_thr = float(test_rpn.get("nms_thr", 0.7))
+
+        def merge_one(bx, sc, v):
+            keep = nms_keep(bx, sc, nms_thr, valid=v)
+            s_k = jnp.where(keep, sc, -1.0)
+            top, idx = jax.lax.top_k(s_k, max_num)
+            return bx[idx], top > 0
+        proposals, prop_valid = jax.vmap(merge_one)(
+            cat_props, cat_scores, cat_valid)          # base frame
+
+        # ---- (2) re-score merged RoIs in every view (merge_aug_bboxes)
+        n = proposals.shape[1]
+        coder = dict(self.bbox_coder_cfg)
+        sum_boxes = 0.0
+        sum_scores = 0.0
+        for feats, shape_v, (sy, sx), direction, (ph, pw) in views:
+            props_v = proposals * jnp.asarray([sx, sy, sx, sy])
+            if direction is not None:
+                props_v = _flip_boxes(props_v, ph, pw, direction)
+            rois, roi_valid = boxes_to_rois(props_v, prop_valid)
+            bf = self._roi_align_cfg(self.bbox_extractor_cfg, feats, rois,
+                                     roi_valid)
+            cls_score, bbox_pred = self.bbox_head_m(bf)
+            scores_v = jax.nn.softmax(cls_score, axis=-1).reshape(b, n, -1)
+            boxes_v = jax.vmap(lambda r, d, s_: delta2bbox(
+                r, d, tuple(coder.get("target_means", (0.,) * 4)),
+                tuple(coder.get("target_stds", (1.,) * 4))))(
+                props_v, bbox_pred.reshape(b, n, -1), shape_v)
+            boxes_v = jax.vmap(clip_boxes)(boxes_v, shape_v)
+            if direction is not None:
+                flat = boxes_v.reshape(b, n, -1, 4)
+                flat = _flip_boxes(flat, ph, pw, direction)
+                boxes_v = flat.reshape(boxes_v.shape)
+            boxes_v = boxes_v.reshape(b, n, -1, 4) \
+                / jnp.asarray([sx, sy, sx, sy])
+            sum_boxes = sum_boxes + boxes_v
+            sum_scores = sum_scores + scores_v
+        mean_boxes = (sum_boxes / len(views)).reshape(b, n, -1)
+        mean_scores = sum_scores / len(views)
+
+        max_per_img = rcnn.get("max_per_img", 100)
+        nms_cfg = dict(rcnn.get("nms", dict(type="nms", iou_threshold=0.5)))
+        det_boxes, det_scores, det_labels, det_valid = jax.vmap(
+            lambda bx, sc, v: multiclass_nms(
+                bx, sc, rcnn.get("score_thr", 0.05), nms_cfg, max_per_img,
+                valid=v))(mean_boxes, mean_scores, prop_valid)
+
+        out = {"det_bboxes":
+               det_boxes / jnp.asarray(scale_factor)[:, None, None],
+               "det_scores": det_scores, "det_labels": det_labels,
+               "det_valid": det_valid}
+
+        # ---- (3) per-view masks / extras, averaged (merge_aug_masks)
+        mask_sum = 0.0
+        extra_sums = {}
+        for feats, shape_v, (sy, sx), direction, (ph, pw) in views:
+            det_v = det_boxes * jnp.asarray([sx, sy, sx, sy])
+            if direction is not None:
+                det_v = _flip_boxes(det_v, ph, pw, direction)
+            if self.with_mask:
+                rois, roi_valid = boxes_to_rois(det_v, det_valid)
+                mf = self._roi_align_cfg(self.mask_extractor_cfg, feats,
+                                         rois, roi_valid)
+                logits = self.mask_head_m(mf)
+                probs = jax.nn.sigmoid(logits[..., 0]).reshape(
+                    b, -1, *logits.shape[1:3])
+                if direction is not None:
+                    probs = jnp.flip(
+                        probs, 3 if direction == "horizontal" else 2)
+                mask_sum = mask_sum + probs
+            sf_v = jnp.asarray(scale_factor) * ((sx + sy) / 2.0)
+            extras = self._extra_simple_test(feats, det_v, det_valid,
+                                             shape_v, sf_v)
+            for key, val in extras.items():
+                if direction is not None and key.endswith("offsets"):
+                    pol = jnp.asarray([-1.0, 1.0]) \
+                        if direction == "horizontal" \
+                        else jnp.asarray([1.0, -1.0])
+                    val = val * pol
+                elif direction is not None and "probs" in key:
+                    continue        # spatial grids: keep base view only
+                extra_sums.setdefault(key, []).append(val)
+        if self.with_mask:
+            out["mask_probs"] = mask_sum / len(views)
+        for key, vals in extra_sums.items():
+            out[key] = sum(vals) / len(vals)
+        return out
 
 
 class FasterRCNN(TwoStageDetector):

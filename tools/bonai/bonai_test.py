@@ -70,6 +70,7 @@ def main():
     if args.aug_test:
         from bonai_tpu.apis.test import tta_cfg_from_pipeline
         tta = tta_cfg_from_pipeline(dataset)
+        tta["mode"] = args.aug_test_mode
         print(f"aug-test views: {tta}")
     results = run_inference(model, variables, loader,
                             max_images=args.max_images, tta=tta)

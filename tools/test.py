@@ -28,6 +28,12 @@ def main():
                         help="multi-view TTA (scales x flips declared by "
                              "MultiScaleFlipAug in the test pipeline; "
                              "defaults to h+v flip)")
+    parser.add_argument("--aug-test-mode", default="det",
+                        choices=["det", "proposal"],
+                        help="TTA merge level: det (cheap, NMS over "
+                             "per-view detections) or proposal "
+                             "(reference merge_aug_proposals/_bboxes/"
+                             "_masks parity)")
     args = parser.parse_args()
 
     import jax.numpy as jnp
@@ -71,6 +77,7 @@ def main():
     if args.aug_test:
         from bonai_tpu.apis.test import tta_cfg_from_pipeline
         tta = tta_cfg_from_pipeline(dataset)
+        tta["mode"] = args.aug_test_mode
         print(f"aug-test views: {tta}")
     results = run_inference(model, variables, loader,
                             max_images=args.max_images, tta=tta)
