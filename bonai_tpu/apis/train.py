@@ -37,17 +37,14 @@ def set_random_seed(seed, deterministic=False):
     return jax.random.PRNGKey(seed)
 
 
-def _run_validation(model, state, cfg, metrics_log):
+def _run_validation(model, state, cfg, metrics_log, val_ds):
     """Epoch-end validation (reference ``EvalHook``:
-    ``core/evaluation/eval_hooks.py:7-37`` → ``dataset.evaluate``)."""
+    ``core/evaluation/eval_hooks.py:7-37`` → ``dataset.evaluate``).
+    ``val_ds`` is built once up-front in :func:`train_detector` so a
+    misconfigured val path fails at startup, not silently every epoch."""
     from ..apis.test import run_inference
-    from ..datasets import build_dataset, build_dataloader
+    from ..datasets import build_dataloader
     from ..evaluation.coco_eval import evaluate_coco
-    try:
-        val_ds = build_dataset(dict(cfg.data.val, test_mode=True))
-    except Exception as e:     # validation data absent is non-fatal
-        logger.warning("validation skipped: %s", e)
-        return {}
     loader = build_dataloader(val_ds, samples_per_gpu=cfg.data.get(
         "samples_per_gpu", 2), shuffle=False, train=False)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
@@ -85,6 +82,12 @@ def train_detector(cfg, work_dir, seed=0, resume_from=None, load_from=None,
         inst_mask_size=data_cfg.get("inst_mask_size", 112))
     steps_per_epoch = max(len(loader), 1)
     total_epochs = cfg.get("total_epochs", 12)
+
+    # build the val dataset up-front: a typo'd val path must fail at
+    # startup, not be swallowed into a per-epoch warning
+    val_ds = None
+    if validate and cfg.get("evaluation", {}).get("interval", 0):
+        val_ds = build_dataset(dict(cfg.data.val, test_mode=True))
 
     model = build_detector(cfg.model, cfg.train_cfg, cfg.test_cfg,
                            compute_dtype=cfg.get("compute_dtype", "bfloat16"))
@@ -178,7 +181,7 @@ def train_detector(cfg, work_dir, seed=0, resume_from=None, load_from=None,
                             meta=dict(epoch=epoch + 1, step=step))
         eval_interval = cfg.get("evaluation", {}).get("interval", 0)
         if validate and eval_interval and (epoch + 1) % eval_interval == 0:
-            _run_validation(model, state, cfg, history)
+            _run_validation(model, state, cfg, history, val_ds)
     save_checkpoint(work_dir, step, state,
                     meta=dict(final=True, step=step))
     return state, history

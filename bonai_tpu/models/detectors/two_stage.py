@@ -366,9 +366,6 @@ class TwoStageDetector(nn.Module):
         label_w_f = label_w.reshape(n_tot)
         if "neg_label_weights" in res:       # ScoreHLR ISR-N reweighting
             label_w_f = label_w_f * res["neg_label_weights"].reshape(n_tot)
-        avg_cls = jnp.maximum(jnp.sum(label_w_f > 0), 1.0)
-        loss_cls = cross_entropy(cls_score, labels_f, label_w_f,
-                                 avg_factor=avg_cls)
         # reg: select the gt-class slice when not class-agnostic
         nc = self.bbox_head_m.num_classes
         if self.bbox_head_m.reg_class_agnostic or nc == 1:
@@ -378,9 +375,61 @@ class TwoStageDetector(nn.Module):
             pred4 = jnp.take_along_axis(
                 pred, jnp.clip(labels_f, 0, nc - 1)[:, None, None], axis=1
             )[:, 0]
-        loss_bbox = l1_loss(pred4, bbox_t.reshape(n_tot, 4),
+        bbox_t_f = bbox_t.reshape(n_tot, 4)
+        pos_mask = labels_f < nc
+
+        # PISA (reference mmdet/models/roi_heads/pisa_roi_head.py keyed
+        # off train_cfg.rcnn isr/carl): reweight positive cls weights by
+        # IoU-HLR before the loss; add the CARL regression term
+        isr_cfg = rcnn.get("isr")
+        carl_cfg = rcnn.get("carl")
+        if isr_cfg or carl_cfg:
+            from ...core.boxes import delta2bbox as _d2b
+            coder_m = tuple(coder.get("target_means", (0.,) * 4))
+            coder_s = tuple(coder.get("target_stds", (1.,) * 4))
+            flat_boxes = sampled_boxes.reshape(n_tot, 4)
+            dec_pred = _d2b(flat_boxes,
+                            jax.lax.stop_gradient(pred4.astype(jnp.float32)),
+                            coder_m, coder_s)
+            dec_tgt = _d2b(flat_boxes, bbox_t_f, coder_m, coder_s)
+            ix1 = jnp.maximum(dec_pred[:, 0], dec_tgt[:, 0])
+            iy1 = jnp.maximum(dec_pred[:, 1], dec_tgt[:, 1])
+            ix2 = jnp.minimum(dec_pred[:, 2], dec_tgt[:, 2])
+            iy2 = jnp.minimum(dec_pred[:, 3], dec_tgt[:, 3])
+            inter = jnp.clip(ix2 - ix1, 0) * jnp.clip(iy2 - iy1, 0)
+            area = (lambda bx: jnp.clip(bx[:, 2] - bx[:, 0], 0)
+                    * jnp.clip(bx[:, 3] - bx[:, 1], 0))
+            ious = inter / jnp.maximum(
+                area(dec_pred) + area(dec_tgt) - inter, 1e-6)
+        if isr_cfg:
+            from ..losses import isr_p
+            logp = jax.nn.log_softmax(
+                jax.lax.stop_gradient(cls_score.astype(jnp.float32)), -1)
+            ce_raw = -jnp.take_along_axis(
+                logp, jnp.clip(labels_f, 0, nc)[:, None], axis=1)[:, 0]
+            label_w_f = isr_p(
+                label_w_f, ious, pos_mask, labels_f,
+                res["pos_gt_inds"].reshape(n_tot),
+                jnp.where(pos_mask, ce_raw, 0.0),
+                k=isr_cfg.get("k", 2.0), bias=isr_cfg.get("bias", 0.0))
+
+        avg_cls = jnp.maximum(jnp.sum(label_w_f > 0), 1.0)
+        loss_cls = cross_entropy(cls_score, labels_f, label_w_f,
+                                 avg_factor=avg_cls)
+        loss_bbox = l1_loss(pred4, bbox_t_f,
                             bbox_w.reshape(n_tot, 4), avg_factor=float(n_tot))
         losses = {"loss_cls": loss_cls, "loss_bbox": loss_bbox}
+        if carl_cfg:
+            from ..losses import carl_loss
+            probs = jax.nn.softmax(cls_score.astype(jnp.float32), -1)
+            pos_prob = jnp.take_along_axis(
+                probs, jnp.clip(labels_f, 0, nc - 1)[:, None], axis=1)[:, 0]
+            reg_raw = jnp.abs(pred4 - bbox_t_f)   # L1, unreduced
+            losses["loss_carl"] = carl_cfg.get("loss_weight", 1.0) * \
+                carl_loss(pos_prob, pos_mask, reg_raw,
+                          k=carl_cfg.get("k", 1.0),
+                          bias=carl_cfg.get("bias", 0.2),
+                          avg_factor=float(n_tot))
 
         # ---- mask branch on the positive slots (sampler ranks pos first)
         pos_slots = slice(0, num_pos)

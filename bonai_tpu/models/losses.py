@@ -443,3 +443,84 @@ class AssociativeEmbeddingLoss:
         push = jnp.maximum(0.0, 1.0 - diff) * pair_v
         push = jnp.sum(push) / jnp.maximum(n * (n - 1.0), 1.0)
         return self.pull_weight * pull, self.push_weight * push
+
+
+# ---------------------------------------------------------------- PISA
+
+def isr_p(label_weights, ious, pos_mask, labels, matched_gt, pos_loss_cls,
+          k=2.0, bias=0.0):
+    """Importance-based Sample Reweighting for positives (ISR-P).
+
+    reference: ``mmdet/models/losses/pisa_loss.py:6-117`` — positives are
+    ranked by IoU-HLR (sort by IoU within each (label, matched-gt) group,
+    then re-rank across groups of the same label), the rank is linearly
+    mapped to a weight, raised to ``k`` with shift ``bias``, and the
+    result is normalised so the weighted positive cls loss keeps its
+    original sum.  Static-shape formulation: both hierarchical sorts are
+    one segmented-rank pass each (sort + segmented scan), no python
+    loops over labels/instances.
+
+    Args:
+      label_weights: ``(N,)`` current cls weights.
+      ious: ``(N,)`` aligned IoU between decoded prediction and target
+        (any value on non-positive rows — masked out).
+      pos_mask: ``(N,)`` bool.
+      labels: ``(N,)`` int class of each row.
+      matched_gt: ``(N,)`` int matched-gt index for positives.
+      pos_loss_cls: ``(N,)`` per-sample unweighted cls loss
+        (stop-gradiented; 0 on non-positive rows).
+    Returns updated ``(N,)`` label weights.
+    """
+    from ..core.samplers import _within_group_rank
+    n = labels.shape[0]
+    pf = pos_mask.astype(jnp.float32)
+    num_pos = jnp.sum(pf)
+    nc_guess = jnp.max(jnp.where(pos_mask, labels, 0)) + 1
+    # per-label positive counts -> max_l_num
+    counts = jnp.zeros(n, jnp.float32).at[
+        jnp.where(pos_mask, labels, n - 1)].add(pf)
+    max_l_num = jnp.maximum(jnp.max(counts), 1.0)
+
+    iou_key = 1.0 - jnp.clip(ious, 0.0, 1.0) * (1.0 - 1e-6)   # desc iou
+    # group 1: (label, gt); non-positives into a junk group
+    g1 = jnp.where(pos_mask, labels * (n + 1) + matched_gt + 1, 0)
+    t_rank = _within_group_rank(g1, iou_key).astype(jnp.float32)
+    iou_aug = jnp.clip(ious, 0.0, 1.0) + (max_l_num - t_rank)
+    # group 2: label, ranked by descending augmented iou
+    key2 = 1.0 - iou_aug / (max_l_num + 2.0)
+    g2 = jnp.where(pos_mask, labels + 1, 0)
+    l_rank = _within_group_rank(g2, key2).astype(jnp.float32)
+
+    w_raw = (max_l_num - l_rank) / max_l_num
+    imp = (bias + label_weights * w_raw * (1.0 - bias)) ** k
+    ori = jnp.sum(pos_loss_cls * label_weights * pf)
+    new = jnp.maximum(jnp.sum(pos_loss_cls * imp * pf), 1e-12)
+    ratio = jnp.where(num_pos > 0, ori / new, 1.0)
+    return jnp.where(pos_mask, imp * ratio, label_weights)
+
+
+def carl_loss(pos_cls_prob, pos_mask, reg_loss_raw, k=1.0, bias=0.2,
+              avg_factor=None):
+    """Classification-Aware Regression Loss (CARL).
+
+    reference: ``mmdet/models/losses/pisa_loss.py:119-181`` — the
+    regression loss of each positive is scaled by a weight derived from
+    its own classification score (normalised to sum to num_pos), making
+    box quality follow classification confidence.
+
+    Args:
+      pos_cls_prob: ``(N,)`` predicted probability of each row's gt class
+        (graded — keeps gradient, per reference).
+      pos_mask: ``(N,)`` bool.
+      reg_loss_raw: ``(N, 4)`` unreduced regression loss.
+      avg_factor: normaliser (defaults to N).
+    """
+    pf = pos_mask.astype(jnp.float32)
+    num_pos = jnp.sum(pf)
+    w = (bias + (1.0 - bias) * pos_cls_prob) ** k
+    ratio = jnp.where(num_pos > 0,
+                      num_pos / jnp.maximum(jnp.sum(w * pf), 1e-12), 0.0)
+    w = w * ratio
+    if avg_factor is None:
+        avg_factor = float(reg_loss_raw.shape[0])
+    return jnp.sum(reg_loss_raw * (w * pf)[:, None]) / avg_factor
