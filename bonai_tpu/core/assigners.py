@@ -9,6 +9,7 @@ vmap-able over the batch.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .boxes import bbox_overlaps
@@ -65,3 +66,69 @@ def max_iou_assign(boxes, gt_bboxes, gt_valid, pos_iou_thr, neg_iou_thr,
         assigned = jnp.where(box_valid, assigned, -1)
         max_overlaps = jnp.where(box_valid, max_overlaps, -1.0)
     return assigned, max_overlaps
+
+
+def atss_assign(anchors, num_level_anchors, gt_bboxes, gt_valid, topk=9,
+                overlaps=None):
+    """Adaptive Training Sample Selection (ATSS, arXiv 1912.02424).
+
+    reference: ``mmdet/core/bbox/assigners/atss_assigner.py:33-170`` —
+    per (gt, level) the ``topk`` center-closest anchors are candidates;
+    the IoU threshold adapts per gt to mean+std of candidate IoUs;
+    positives must also have their center inside the gt; an anchor
+    claimed by several gts keeps the highest-IoU one.
+
+    Static-shape formulation: the per-level top-k becomes one
+    ``lax.top_k`` per level over the (G, n_level) distance block; all
+    masking is dense (A, G) boolean algebra, padded gts can never win.
+
+    Args:
+      anchors: ``(A, 4)``; num_level_anchors: static per-level counts.
+      gt_bboxes ``(G, 4)``, gt_valid ``(G,)``.
+    Returns assigned ``(A,)`` int32 (0 = bg, i+1 = gt i) and
+    ``max_overlaps`` ``(A,)``.
+    """
+    a = anchors.shape[0]
+    g = gt_bboxes.shape[0]
+    if overlaps is None:
+        overlaps = bbox_overlaps(anchors, gt_bboxes)        # (A, G)
+    overlaps = jnp.where(gt_valid[None, :], overlaps, -1.0)
+
+    acx = (anchors[:, 0] + anchors[:, 2]) * 0.5
+    acy = (anchors[:, 1] + anchors[:, 3]) * 0.5
+    gcx = (gt_bboxes[:, 0] + gt_bboxes[:, 2]) * 0.5
+    gcy = (gt_bboxes[:, 1] + gt_bboxes[:, 3]) * 0.5
+    dist = jnp.sqrt((acx[:, None] - gcx[None, :]) ** 2
+                    + (acy[:, None] - gcy[None, :]) ** 2)   # (A, G)
+
+    cand = jnp.zeros((a, g), bool)
+    start = 0
+    garange = jnp.arange(g)[:, None]
+    for n in num_level_anchors:
+        k = min(int(topk), int(n))
+        d_lvl = dist[start:start + n].T                     # (G, n)
+        _, idx = jax.lax.top_k(-d_lvl, k)                   # (G, k)
+        lvl_mask = jnp.zeros((g, n), bool).at[garange, idx].set(True)
+        cand = cand.at[start:start + n].set(lvl_mask.T)
+        start += n
+    cand = cand & gt_valid[None, :]
+
+    k_eff = jnp.maximum(jnp.sum(cand, axis=0).astype(jnp.float32), 1.0)
+    co = jnp.where(cand, overlaps, 0.0)
+    mean = jnp.sum(co, axis=0) / k_eff
+    var = jnp.sum(jnp.where(cand, (overlaps - mean[None, :]) ** 2, 0.0),
+                  axis=0) / jnp.maximum(k_eff - 1.0, 1.0)   # torch ddof=1
+    thr = mean + jnp.sqrt(var)                              # (G,)
+
+    inside = jnp.minimum(
+        jnp.minimum(acx[:, None] - gt_bboxes[None, :, 0],
+                    gt_bboxes[None, :, 2] - acx[:, None]),
+        jnp.minimum(acy[:, None] - gt_bboxes[None, :, 1],
+                    gt_bboxes[None, :, 3] - acy[:, None])) > 0.01
+    is_pos = cand & (overlaps >= thr[None, :]) & inside
+
+    ov_masked = jnp.where(is_pos, overlaps, -1e8)
+    max_ov = jnp.max(ov_masked, axis=1)
+    arg = jnp.argmax(ov_masked, axis=1)
+    assigned = jnp.where(max_ov > -1e7, arg.astype(jnp.int32) + 1, 0)
+    return assigned, jnp.where(assigned > 0, max_ov, 0.0)

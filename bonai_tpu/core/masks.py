@@ -20,6 +20,7 @@ the reference's CPU RLE encode step (``mmdet/apis/test.py:59-67``).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -51,29 +52,30 @@ def mask_targets_from_instance_masks(pos_proposals, matched_gt_bboxes,
     gh = jnp.maximum(gy2 - gy1, 1e-6)
     u = (xs - gx1[:, None]) / gw[:, None] * M - 0.5            # (P, S)
     v = (ys - gy1[:, None]) / gh[:, None] * M - 0.5
-    # bilinear sample with zero outside (instance is 0 outside its box)
-    def sample(mask, vv, uu):
-        # mask (P,M,M); vv,uu (P,S)
-        inside_v = (vv > -1.0) & (vv < M)
-        inside_u = (uu > -1.0) & (uu < M)
-        vv = jnp.clip(vv, 0.0, M - 1.0)
-        uu = jnp.clip(uu, 0.0, M - 1.0)
-        v0 = jnp.clip(jnp.floor(vv), 0, M - 2).astype(jnp.int32)
-        u0 = jnp.clip(jnp.floor(uu), 0, M - 2).astype(jnp.int32)
-        lv = vv - v0
-        lu = uu - u0
-        bidx = jnp.arange(P)[:, None, None]
-        m00 = mask[bidx, v0[:, :, None], u0[:, None, :]]
-        m01 = mask[bidx, v0[:, :, None], (u0 + 1)[:, None, :]]
-        m10 = mask[bidx, (v0 + 1)[:, :, None], u0[:, None, :]]
-        m11 = mask[bidx, (v0 + 1)[:, :, None], (u0 + 1)[:, None, :]]
-        wv = lv[:, :, None]
-        wu = lu[:, None, :]
-        out = (m00 * (1 - wv) * (1 - wu) + m01 * (1 - wv) * wu
-               + m10 * wv * (1 - wu) + m11 * wv * wu)
-        gate = (inside_v[:, :, None] & inside_u[:, None, :])
-        return out * gate
-    vals = sample(matched_inst_masks.astype(jnp.float32), v, u)   # (P,S,S)
+    # Bilinear sampling as two separable interpolation matmuls
+    # (out = Wv @ mask @ Wu^T) instead of 4 advanced-indexing gathers:
+    # P*S*S scalar gathers lower to descriptor-bound fusions (~19 ms/step
+    # profiled); the one-hot contraction is ~0.5 GFLOP on the MXU.
+    def interp_matrix(coords):
+        # (P, S) fractional mask coords -> (P, S, M) bilinear weights,
+        # zero outside [-1, M] (instance is 0 outside its box)
+        inside = (coords > -1.0) & (coords < M)
+        c = jnp.clip(coords, 0.0, M - 1.0)
+        c0 = jnp.clip(jnp.floor(c), 0, M - 2)
+        frac = (c - c0)[:, :, None]
+        iota = jax.lax.broadcasted_iota(jnp.float32, (P, S, M), 2)
+        w = jnp.where(iota == c0[:, :, None], 1.0 - frac, 0.0) \
+            + jnp.where(iota == c0[:, :, None] + 1.0, frac, 0.0)
+        return w * inside[:, :, None]
+    wv = interp_matrix(v)                                 # (P, S, M)
+    wu = interp_matrix(u)                                 # (P, S, M)
+    mask_f = matched_inst_masks.astype(jnp.float32)
+    rows = jax.lax.dot_general(
+        wv, mask_f, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        precision=jax.lax.Precision.HIGHEST)              # (P, S, M)
+    vals = jax.lax.dot_general(
+        rows, wu, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        precision=jax.lax.Precision.HIGHEST)              # (P, S, S)
     return (vals >= 0.5).astype(jnp.float32)
 
 

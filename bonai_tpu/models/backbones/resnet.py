@@ -23,6 +23,7 @@ from typing import Any, Sequence
 
 import flax.linen as nn
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 ARCH_SETTINGS = {
@@ -101,6 +102,68 @@ class Bottleneck(nn.Module):
         return nn.relu(out + identity)
 
 
+class Bottle2neck(nn.Module):
+    """Res2Net block (reference ``mmdet/models/backbones/res2net.py:
+    13-155``): the 3x3 stage becomes a hierarchy of ``scales-1`` small
+    convs over channel splits with cumulative residual mixing."""
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    dtype: Any = jnp.float32
+    expansion: int = 4
+    scales: int = 4
+    base_width: int = 26
+    base_channels: int = 64
+    stage_type: str = "normal"     # 'stage' on each stage's first block
+    avg_down: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        identity = x
+        width = int(np.floor(
+            self.planes * (self.base_width / self.base_channels)))
+        out = conv(width * self.scales, 1, 1, 0, "conv1", self.dtype)(x)
+        out = FrozenBatchNorm(dtype=self.dtype, name="bn1")(out)
+        out = nn.relu(out)
+
+        spx = [out[..., i * width:(i + 1) * width]
+               for i in range(self.scales)]
+        sp = None
+        outs = []
+        for i in range(self.scales - 1):
+            inp = spx[i] if (i == 0 or self.stage_type == "stage") \
+                else sp + spx[i]
+            sp = conv(width, 3, self.stride, 1, f"conv2_{i}",
+                      self.dtype)(inp)
+            sp = nn.relu(FrozenBatchNorm(dtype=self.dtype,
+                                         name=f"bn2_{i}")(sp))
+            outs.append(sp)
+        last = spx[self.scales - 1]
+        if self.stage_type == "stage" and self.stride != 1:
+            # AvgPool2d(3, stride, padding=1) on the untouched split
+            last = jnp.pad(last, ((0, 0), (1, 1), (1, 1), (0, 0)))
+            last = nn.avg_pool(last, (3, 3), strides=(self.stride,) * 2)
+        outs.append(last)
+        out = jnp.concatenate(outs, axis=-1)
+
+        out = conv(self.planes * self.expansion, 1, 1, 0, "conv3",
+                   self.dtype)(out)
+        out = FrozenBatchNorm(dtype=self.dtype, name="bn3")(out)
+        if self.downsample:
+            if self.avg_down and self.stride != 1:
+                identity = nn.avg_pool(identity, (self.stride,) * 2,
+                                       strides=(self.stride,) * 2)
+                identity = conv(self.planes * self.expansion, 1, 1, 0,
+                                "ds_conv", self.dtype)(identity)
+            else:
+                identity = conv(self.planes * self.expansion, 1,
+                                self.stride, 0, "ds_conv",
+                                self.dtype)(identity)
+            identity = FrozenBatchNorm(dtype=self.dtype,
+                                       name="ds_bn")(identity)
+        return nn.relu(out + identity)
+
+
 class BasicBlock(nn.Module):
     planes: int
     stride: int = 1
@@ -136,16 +199,30 @@ class ResNet(nn.Module):
     style: str = "pytorch"
     groups: int = 1
     base_width: int = 4
+    scales: int = 0            # >1: Res2Net Bottle2neck stages
+    deep_stem: bool = False    # 3x 3x3 stem (Res2Net / ResNet-v1d)
+    avg_down: bool = False     # avgpool+1x1 downsample shortcuts
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         block_name, stage_blocks = ARCH_SETTINGS[self.depth]
         block_cls = Bottleneck if block_name == "bottleneck" else BasicBlock
+        if self.scales > 1 and block_cls is Bottleneck:
+            block_cls = Bottle2neck
         x = x.astype(self.dtype)
-        x = conv(self.base_channels, 7, 2, 3, "conv1", self.dtype)(x)
-        x = FrozenBatchNorm(dtype=self.dtype, name="bn1")(x)
-        x = nn.relu(x)
+        if self.deep_stem:
+            half = self.base_channels // 2
+            for i, (ch, st) in enumerate([(half, 2), (half, 1),
+                                          (self.base_channels, 1)]):
+                x = conv(ch, 3, st, 1, f"stem_conv{i}", self.dtype)(x)
+                x = FrozenBatchNorm(dtype=self.dtype,
+                                    name=f"stem_bn{i}")(x)
+                x = nn.relu(x)
+        else:
+            x = conv(self.base_channels, 7, 2, 3, "conv1", self.dtype)(x)
+            x = FrozenBatchNorm(dtype=self.dtype, name="bn1")(x)
+            x = nn.relu(x)
         # torch MaxPool2d(3, 2, padding=1)
         x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)),
                     constant_values=-jnp.inf)
@@ -156,7 +233,7 @@ class ResNet(nn.Module):
         outs = []
         planes = self.base_channels
         in_ch = self.base_channels
-        expansion = 4 if block_cls is Bottleneck else 1
+        expansion = 1 if block_cls is BasicBlock else 4
         for stage in range(self.num_stages):
             num_blocks = stage_blocks[stage]
             stride = 1 if stage == 0 else 2
@@ -169,7 +246,13 @@ class ResNet(nn.Module):
                               downsample=ds,
                               dtype=self.dtype,
                               name=f"layer{stage + 1}_{b}")
-                if block_cls is Bottleneck:
+                if block_cls is Bottle2neck:
+                    kwargs.update(scales=self.scales,
+                                  base_width=self.base_width,
+                                  base_channels=self.base_channels,
+                                  stage_type="stage" if ds else "normal",
+                                  avg_down=self.avg_down)
+                elif block_cls is Bottleneck:
                     kwargs.update(groups=self.groups,
                                   base_width=self.base_width)
                 x = block_cls(**kwargs)(x)

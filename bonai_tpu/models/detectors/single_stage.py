@@ -99,3 +99,201 @@ class RetinaNet(nn.Module):
                     scale_factor)[:, None, None],
                 "det_scores": det_scores, "det_labels": det_labels,
                 "det_valid": det_valid}
+
+
+INF_RANGE = 100000000.0
+
+
+class FCOS(nn.Module):
+    """FCOS detector (reference ``mmdet/models/detectors/fcos.py`` —
+    SingleStageDetector with FCOSHead)."""
+    backbone: Any = None
+    neck: Any = None
+    bbox_head: Any = None
+    train_cfg: Any = None
+    test_cfg: Any = None
+    pretrained: Optional[str] = None
+    compute_dtype: str = "float32"
+
+    def setup(self):
+        from ..dense_heads.fcos_head import FCOSHead
+        dt = _dtype(self.compute_dtype)
+        bk = dict(self.backbone)
+        bk.pop("type", None)
+        self.backbone_m = ResNet(
+            depth=bk.get("depth", 50),
+            base_channels=bk.get("base_channels", 64),
+            out_indices=tuple(bk.get("out_indices", (0, 1, 2, 3))),
+            frozen_stages=bk.get("frozen_stages", -1), dtype=dt,
+            name="backbone")
+        nk = dict(self.neck)
+        nk.pop("type", None)
+        self.neck_m = FPN(
+            in_channels=tuple(nk.get("in_channels", (256, 512, 1024, 2048))),
+            out_channels=nk.get("out_channels", 256),
+            num_outs=nk.get("num_outs", 5),
+            start_level=nk.get("start_level", 1),
+            add_extra_convs=bool(nk.get("add_extra_convs", False)),
+            dtype=dt, name="neck")
+        bh = dict(self.bbox_head)
+        self.num_classes = bh.get("num_classes", 80)
+        self.strides = tuple(bh.get("strides", (8, 16, 32, 64, 128)))
+        self.regress_ranges = tuple(
+            tuple(r) for r in bh.get("regress_ranges",
+                                     ((-1, 64), (64, 128), (128, 256),
+                                      (256, 512), (512, INF_RANGE))))
+        self.head_m = FCOSHead(
+            num_classes=self.num_classes,
+            in_channels=bh.get("in_channels", 256),
+            feat_channels=bh.get("feat_channels", 256),
+            stacked_convs=bh.get("stacked_convs", 4),
+            num_levels=nk.get("num_outs", 5),
+            centerness_on_reg=bh.get("centerness_on_reg", False),
+            dtype=dt, name="bbox_head")
+        lc = dict(bh.get("loss_cls", {}))
+        self.focal_gamma = lc.get("gamma", 2.0)
+        self.focal_alpha = lc.get("alpha", 0.25)
+
+    def extract_feat(self, img):
+        return self.neck_m(self.backbone_m(img))
+
+    def __call__(self, img):
+        return self.head_m(self.extract_feat(img))
+
+    def _points(self, feats):
+        from ..dense_heads.fcos_head import fcos_points
+        sizes = [(int(f.shape[1]), int(f.shape[2])) for f in feats]
+        return [jnp.asarray(p) for p in fcos_points(sizes, self.strides)]
+
+    def forward_train(self, batch):
+        from ..dense_heads.fcos_head import fcos_loss
+        feats = self.extract_feat(batch["image"])
+        cls_scores, bbox_preds, centernesses = self.head_m(feats)
+        points = self._points(feats)
+        ranges = jnp.concatenate(
+            [jnp.broadcast_to(jnp.asarray(r, jnp.float32),
+                              (p.shape[0], 2))
+             for p, r in zip(points, self.regress_ranges)], 0)
+        return fcos_loss(cls_scores, bbox_preds, centernesses,
+                         jnp.concatenate(points, 0), ranges,
+                         batch["gt_bboxes"], batch["gt_valid"],
+                         batch["gt_labels"], self.num_classes,
+                         gamma=self.focal_gamma, alpha=self.focal_alpha)
+
+    def simple_test(self, img, img_shape, scale_factor):
+        from ..dense_heads.fcos_head import fcos_bboxes_single
+        feats = self.extract_feat(img)
+        cls_scores, bbox_preds, centernesses = self.head_m(feats)
+        points = self._points(feats)
+        cfg = dict(self.test_cfg)
+        det_boxes, det_scores, det_labels, det_valid = jax.vmap(
+            lambda cs, bp, cn, ishape: fcos_bboxes_single(
+                cs, bp, cn, points, ishape, self.num_classes, cfg)
+        )([c for c in cls_scores], [b for b in bbox_preds],
+          [c for c in centernesses], img_shape)
+        return {"det_bboxes": det_boxes / jnp.asarray(
+                    scale_factor)[:, None, None],
+                "det_scores": det_scores, "det_labels": det_labels,
+                "det_valid": det_valid}
+
+
+
+class ATSS(nn.Module):
+    """ATSS detector (reference ``mmdet/models/detectors/atss.py`` —
+    SingleStageDetector with ATSSHead + ATSSAssigner)."""
+    backbone: Any = None
+    neck: Any = None
+    bbox_head: Any = None
+    train_cfg: Any = None
+    test_cfg: Any = None
+    pretrained: Optional[str] = None
+    compute_dtype: str = "float32"
+
+    def setup(self):
+        from ..dense_heads.atss_head import ATSSHead
+        dt = _dtype(self.compute_dtype)
+        bk = dict(self.backbone)
+        bk.pop("type", None)
+        self.backbone_m = ResNet(
+            depth=bk.get("depth", 50),
+            base_channels=bk.get("base_channels", 64),
+            out_indices=tuple(bk.get("out_indices", (0, 1, 2, 3))),
+            frozen_stages=bk.get("frozen_stages", -1), dtype=dt,
+            name="backbone")
+        nk = dict(self.neck)
+        nk.pop("type", None)
+        self.neck_m = FPN(
+            in_channels=tuple(nk.get("in_channels", (256, 512, 1024, 2048))),
+            out_channels=nk.get("out_channels", 256),
+            num_outs=nk.get("num_outs", 5),
+            start_level=nk.get("start_level", 1),
+            add_extra_convs=bool(nk.get("add_extra_convs", False)),
+            dtype=dt, name="neck")
+        bh = dict(self.bbox_head)
+        ag = dict(bh.get("anchor_generator", dict(
+            ratios=[1.0], octave_base_scale=8, scales_per_octave=1,
+            strides=[8, 16, 32, 64, 128])))
+        ag.pop("type", None)
+        self.anchor_generator = AnchorGenerator(**ag)
+        self.num_classes = bh.get("num_classes", 80)
+        self.head_m = ATSSHead(
+            num_classes=self.num_classes,
+            in_channels=bh.get("in_channels", 256),
+            feat_channels=bh.get("feat_channels", 256),
+            stacked_convs=bh.get("stacked_convs", 4),
+            num_levels=nk.get("num_outs", 5),
+            dtype=dt, name="bbox_head")
+        bc = dict(bh.get("bbox_coder", {}))
+        self.coder_means = tuple(bc.get("target_means", (0.,) * 4))
+        self.coder_stds = tuple(bc.get("target_stds", (0.1, 0.1, 0.2, 0.2)))
+        self.atss_topk = dict(self.train_cfg or {}).get(
+            "assigner", {}).get("topk", 9)
+        lc = dict(bh.get("loss_cls", {}))
+        self.focal_gamma = lc.get("gamma", 2.0)
+        self.focal_alpha = lc.get("alpha", 0.25)
+        self.loss_bbox_weight = dict(bh.get("loss_bbox", {})).get(
+            "loss_weight", 2.0)
+
+    def extract_feat(self, img):
+        return self.neck_m(self.backbone_m(img))
+
+    def __call__(self, img):
+        return self.head_m(self.extract_feat(img))
+
+    def _anchors(self, feats):
+        sizes = [(int(f.shape[1]), int(f.shape[2])) for f in feats]
+        return [jnp.asarray(a)
+                for a in self.anchor_generator.grid_anchors(sizes)]
+
+    def forward_train(self, batch):
+        from ..dense_heads.atss_head import atss_loss
+        feats = self.extract_feat(batch["image"])
+        cls_scores, bbox_preds, centernesses = self.head_m(feats)
+        anchors = self._anchors(feats)
+        nla = [int(a.shape[0]) for a in anchors]
+        return atss_loss(cls_scores, bbox_preds, centernesses,
+                         jnp.concatenate(anchors, 0), nla,
+                         batch["gt_bboxes"], batch["gt_valid"],
+                         batch["gt_labels"], self.num_classes,
+                         topk=self.atss_topk,
+                         target_means=self.coder_means,
+                         target_stds=self.coder_stds,
+                         gamma=self.focal_gamma, alpha=self.focal_alpha,
+                         loss_bbox_weight=self.loss_bbox_weight)
+
+    def simple_test(self, img, img_shape, scale_factor):
+        from ..dense_heads.atss_head import atss_bboxes_single
+        feats = self.extract_feat(img)
+        cls_scores, bbox_preds, centernesses = self.head_m(feats)
+        anchors = self._anchors(feats)
+        cfg = dict(self.test_cfg)
+        det_boxes, det_scores, det_labels, det_valid = jax.vmap(
+            lambda cs, bp, cn, ishape: atss_bboxes_single(
+                cs, bp, cn, anchors, ishape, self.num_classes, cfg,
+                self.coder_means, self.coder_stds)
+        )([c for c in cls_scores], [b for b in bbox_preds],
+          [c for c in centernesses], img_shape)
+        return {"det_bboxes": det_boxes / jnp.asarray(
+                    scale_factor)[:, None, None],
+                "det_scores": det_scores, "det_labels": det_labels,
+                "det_valid": det_valid}

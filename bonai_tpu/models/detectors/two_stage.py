@@ -137,8 +137,9 @@ class TwoStageDetector(nn.Module):
                 norm_eval=bk.get("norm_eval", True),
                 dtype=dt, name="backbone")
         else:
-            assert bk_type in ("ResNet", "ResNeXt"), \
+            assert bk_type in ("ResNet", "ResNeXt", "Res2Net"), \
                 f"unsupported backbone {bk_type}"
+            res2 = bk_type == "Res2Net"
             self.backbone_m = ResNet(
                 depth=bk.get("depth", 50),
                 num_stages=bk.get("num_stages", 4),
@@ -148,7 +149,10 @@ class TwoStageDetector(nn.Module):
                 norm_eval=bk.get("norm_eval", True),
                 style=bk.get("style", "pytorch"),
                 groups=bk.get("groups", 1),
-                base_width=bk.get("base_width", 4),
+                base_width=bk.get("base_width", 26 if res2 else 4),
+                scales=bk.get("scales", 4 if res2 else 0),
+                deep_stem=bk.get("deep_stem", res2),
+                avg_down=bk.get("avg_down", res2),
                 dtype=dt, name="backbone")
         nk = dict(self.neck)
         nk_type = nk.pop("type", "FPN")
@@ -227,6 +231,12 @@ class TwoStageDetector(nn.Module):
         # backward block-scatter serializes (~23GB/s) and loses end-to-end;
         # 'pallas' selects the fused fwd+bwd kernel (pallas_roi_align_fused)
         impl = extractor_cfg.get("impl", self.roi_align_impl or "gather")
+        if impl == "pallas":
+            d = jax.devices()[0]
+            if not ("TPU" in getattr(d, "device_kind", "")
+                    or d.platform in ("tpu", "axon")):
+                impl = "gather"   # Mosaic kernels only lower on TPU; the
+                                  # gather path is semantics-equivalent
         if impl == "blocked":
             from ...ops.roi_align_blocked import multilevel_roi_align_blocked
             fn = multilevel_roi_align_blocked

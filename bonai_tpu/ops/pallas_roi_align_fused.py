@@ -45,6 +45,16 @@ def _plan(rois, consts, featmap_strides, output_size, sr, aligned,
     boxes = rois[:, 1:5]
     batch_idx = rois[:, 0].astype(jnp.int32)
     lvl = map_roi_levels(boxes, num_levels, finest_scale)
+    # extreme-aspect RoIs whose x-extent would overflow the strip window
+    # are pushed to a coarser level until they fit (instead of silently
+    # zeroing beyond-window samples).  Deviation from the reference's
+    # pure sqrt(wh) level rule, but only for boxes the window cannot
+    # cover; feature content is preserved.
+    w_box = boxes[:, 2] - boxes[:, 0]
+    need = w_box / (float(featmap_strides[0]) * (window - 4))
+    lvl_min = jnp.ceil(
+        jnp.log2(jnp.maximum(need, 1e-9))).astype(jnp.int32)
+    lvl = jnp.clip(jnp.maximum(lvl, lvl_min), 0, num_levels - 1)
     strides = jnp.asarray(featmap_strides, jnp.float32)
     Hl = jnp.asarray(heights)[lvl]
     Wl = jnp.asarray(widths)[lvl]
@@ -75,6 +85,13 @@ def _plan(rois, consts, featmap_strides, output_size, sr, aligned,
         base_off = jnp.where(roi_valid, base_off, 0)
     win_start = jnp.minimum(jnp.min(x0, axis=1),
                             jnp.maximum(Wl - window, 0))
+    # Mosaic requires dynamic HBM slice starts 8-aligned in dim 0.  With
+    # level widths (and hence flat level offsets) multiples of 8, a RoI's
+    # strip misalignment is the RoI-constant ``win_start % 8`` (rows
+    # differ by multiples of Wl): fetch from the aligned start and fold
+    # the offset into the one-hot x index (window is padded by 8).
+    off = win_start % 8
+    win_start = win_start - off
     row0 = base_off[:, None] + y0 * Wl[:, None] + win_start[:, None]
     row1 = base_off[:, None] + jnp.minimum(y0 + 1, Hl[:, None] - 1) * \
         Wl[:, None] + win_start[:, None]
@@ -115,8 +132,11 @@ def _fwd_kernel(oh, ow, sr, window, C, R, dtype,
     r = pl.program_id(0)
 
     def strip_dma(slot, roi, j):
+        # rows/first_occ ride SMEM flattened 1-D: 2-D SMEM operands are
+        # row-padded to the 128-lane width (R*128*4B blows the budget)
         return pltpu.make_async_copy(
-            flat_ref.at[pl.ds(rows_ref[roi, j], window), :],
+            flat_ref.at[pl.ds(pl.multiple_of(
+                rows_ref[roi * n_strips + j], 8), window), :],
             buf.at[slot, j], sems.at[slot, j])
 
     @pl.when(r == 0)
@@ -134,12 +154,15 @@ def _fwd_kernel(oh, ow, sr, window, C, R, dtype,
     for j in range(n_strips):
         strip_dma(slot, r, j).wait()
 
+    # e0/lx/ly live whole-array in VMEM: SMEM (scalar-prefetch) refs only
+    # allow scalar loads on hardware, and these are vector operands
     wx, wy = _xy_weights(e0_ref[r], lx_ref[r], ly_ref[r], nx, ny, window)
     F = buf[slot].astype(jnp.float32)                    # (2ny, window, C)
     G = jax.lax.dot_general(
         wx, F.transpose(1, 0, 2).reshape(window, n_strips * C),
         dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)              # (nx, 2ny*C)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)              # (nx, 2ny*C)
     G = G.reshape(nx, 2, ny, C)
     vals = G[:, 0] * wy[0][None, :, None] + G[:, 1] * wy[1][None, :, None]
     vals = vals.transpose(1, 0, 2).reshape(oh, sr, ow, sr, C)
@@ -160,12 +183,15 @@ def _bwd_kernel(oh, ow, sr, window, C, R,
 
     def read_dma(roi, j):
         return pltpu.make_async_copy(
-            dflat_ref.at[pl.ds(rows_ref[roi, j], window), :],
+            dflat_ref.at[pl.ds(pl.multiple_of(
+                rows_ref[roi * n_strips + j], 8), window), :],
             rbuf.at[j], rsems.at[j])
 
     def write_dma(roi, j):
         return pltpu.make_async_copy(
-            wbuf.at[j], dflat_ref.at[pl.ds(rows_ref[roi, j], window), :],
+            wbuf.at[j],
+            dflat_ref.at[pl.ds(pl.multiple_of(
+                rows_ref[roi * n_strips + j], 8), window), :],
             wsems.at[j])
 
     # fence: previous RoI's writes must land before we read (strips of
@@ -173,7 +199,7 @@ def _bwd_kernel(oh, ow, sr, window, C, R,
     @pl.when(r > 0)
     def _():
         for j in range(n_strips):
-            @pl.when(focc_ref[r - 1, j] == 1)
+            @pl.when(focc_ref[(r - 1) * n_strips + j] == 1)
             def _():
                 write_dma(r - 1, j).wait()
 
@@ -191,30 +217,32 @@ def _bwd_kernel(oh, ow, sr, window, C, R,
     dG = dG.reshape(nx, n_strips * C)
     dFm = jax.lax.dot_general(
         wx, dG, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)              # (window, 2ny*C)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)              # (window, 2ny*C)
     dstrips = dFm.reshape(window, n_strips, C).transpose(1, 0, 2)
     # intra-RoI dedup: rows repeated across strips combine into the first
     # occurrence (E @ dstrips sums duplicates; non-first rows not written)
-    rv = rows_vec_ref[0]                                 # (2ny,) int32
+    rv = rows_vec_ref[r]                                 # (2ny,) int32
     E = (rv[:, None] == rv[None, :]).astype(jnp.float32)
     combined = jax.lax.dot_general(
         E, dstrips.reshape(n_strips, window * C),
         dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).reshape(n_strips, window, C)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST).reshape(n_strips, window, C)
 
     for j in range(n_strips):
         read_dma(r, j).wait()
     wbuf[:] = rbuf[:] + combined
 
     for j in range(n_strips):
-        @pl.when(focc_ref[r, j] == 1)
+        @pl.when(focc_ref[r * n_strips + j] == 1)
         def _():
             write_dma(r, j).start()
 
     @pl.when(r == R - 1)
     def _():
         for j in range(n_strips):
-            @pl.when(focc_ref[r, j] == 1)
+            @pl.when(focc_ref[r * n_strips + j] == 1)
             def _():
                 write_dma(r, j).wait()
 
@@ -227,9 +255,17 @@ def _pallas_fwd(flat, plan, oh, ow, sr, window, interpret):
     ny = oh * sr
     n_strips = 2 * ny
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=2,
         grid=(R,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[
+            # whole-array VMEM residency: per-r (1, N) blocks violate the
+            # (8, 128)-divisibility rule for small N; the full plans are
+            # a few hundred KB and vector-indexable by r
+            pl.BlockSpec(memory_space=pltpu.VMEM),       # e0
+            pl.BlockSpec(memory_space=pltpu.VMEM),       # lx
+            pl.BlockSpec(memory_space=pltpu.VMEM),       # ly
+            pl.BlockSpec(memory_space=pl.ANY),           # flat
+        ],
         out_specs=pl.BlockSpec((1, oh, ow, C), lambda r, *_: (r, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
@@ -243,8 +279,8 @@ def _pallas_fwd(flat, plan, oh, ow, sr, window, interpret):
         kernel, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((R, oh, ow, C), flat.dtype),
         interpret=interpret,
-    )(plan["rows"], plan["first_occ"], plan["e0"], plan["lx"], plan["ly"],
-      flat)
+    )(plan["rows"].reshape(-1), plan["first_occ"].reshape(-1),
+      plan["e0"], plan["lx"], plan["ly"], flat)
 
 
 def _pallas_bwd(g, plan, P, C, oh, ow, sr, window, interpret):
@@ -254,11 +290,13 @@ def _pallas_bwd(g, plan, P, C, oh, ow, sr, window, interpret):
     ny = oh * sr
     n_strips = 2 * ny
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=2,
         grid=(R,),
         in_specs=[
-            pl.BlockSpec((1, n_strips), lambda r, *_: (r, 0),
-                         memory_space=pltpu.VMEM),       # rows as vector
+            pl.BlockSpec(memory_space=pltpu.VMEM),       # e0
+            pl.BlockSpec(memory_space=pltpu.VMEM),       # lx
+            pl.BlockSpec(memory_space=pltpu.VMEM),       # ly
+            pl.BlockSpec(memory_space=pltpu.VMEM),       # rows as vector
             pl.BlockSpec((1, oh, ow, C), lambda r, *_: (r, 0, 0, 0),
                          memory_space=pltpu.VMEM),       # upstream grad
             pl.BlockSpec(memory_space=pl.ANY),        # dflat (aliased)
@@ -278,18 +316,31 @@ def _pallas_bwd(g, plan, P, C, oh, ow, sr, window, interpret):
         out_shape=jax.ShapeDtypeStruct((P, C), jnp.float32),
         input_output_aliases={7: 0},   # dflat0 (5 scalar-prefetch + 2) -> out
         interpret=interpret,
-    )(plan["rows"], plan["first_occ"], plan["e0"], plan["lx"], plan["ly"],
-      plan["rows"], g, dflat0)
+    )(plan["rows"].reshape(-1), plan["first_occ"].reshape(-1),
+      plan["e0"], plan["lx"], plan["ly"], plan["rows"], g, dflat0)
 
 
 def pallas_multilevel_roi_align(features, rois, output_size,
                                 featmap_strides, sampling_ratio=2,
                                 aligned=True, finest_scale=56,
                                 roi_valid=None, flat_pack=None, window=64,
-                                interpret=False):
-    """Drop-in replacement for ``multilevel_roi_align`` with a fused
-    Pallas forward and backward (same contract; differentiable in the
-    feature pyramid)."""
+                                interpret=False, backward="scatter"):
+    """Drop-in replacement for ``multilevel_roi_align`` with a Pallas
+    strip-DMA forward (same contract; differentiable in the feature
+    pyramid).
+
+    ``backward``:
+    - ``"scatter"`` (default): RoIAlign is linear in the features, so the
+      VJP is the ``jax.linear_transpose`` of the gather formulation —
+      XLA's fused 4N-row corner scatter, exact and race-free.
+    - ``"rmw"``: the experimental Pallas read-modify-write kernel.  Its
+      per-strip windows can overlap when a level is narrower than
+      ``window`` (or after the 8-row alignment pad), and overlapping
+      strip writes within one RoI land in DMA-completion order — stale
+      read-backs can then clobber a neighbour strip's contribution.
+      Matches the scatter on typical shapes but is NOT safe in general;
+      kept for kernel development only.
+    """
     if isinstance(output_size, int):
         output_size = (output_size, output_size)
     oh, ow = output_size
@@ -299,6 +350,10 @@ def pallas_multilevel_roi_align(features, rois, output_size,
     flat, consts = flat_pack
     plan = _plan(rois, consts, featmap_strides, output_size, sr, aligned,
                  finest_scale, window, roi_valid)
+    # strips are fetched from 8-aligned starts: e0 may reach window+7,
+    # so the kernels operate on a window+8 fetch (flat carries 128 zero
+    # tail rows to keep the over-fetch in-bounds)
+    window = window + 8
     P = int(flat.shape[0])
     C = int(flat.shape[1])
 
@@ -309,12 +364,34 @@ def pallas_multilevel_roi_align(features, rois, output_size,
     def run_fwd(flat, plan):
         return run(flat, plan), plan
 
-    def run_bwd(plan, g):
-        dflat = _pallas_bwd(g, plan, P, C, oh, ow, sr, window, interpret)
-        zero_plan = {k: (np.zeros(v.shape, jax.dtypes.float0)
-                         if v.dtype.kind in "ib" else jnp.zeros_like(v))
-                     for k, v in plan.items()}
-        return dflat.astype(flat.dtype), zero_plan
+    def _zero_plan(plan):
+        return {k: (np.zeros(v.shape, jax.dtypes.float0)
+                    if v.dtype.kind in "ib" else jnp.zeros_like(v))
+                for k, v in plan.items()}
+
+    if backward == "rmw":
+        def run_bwd(plan, g):
+            dflat = _pallas_bwd(g, plan, P, C, oh, ow, sr, window,
+                                interpret)
+            return dflat.astype(flat.dtype), _zero_plan(plan)
+    else:
+        from .roi_align import _bilinear_gather_bwd, multilevel_gather_plan
+
+        def run_bwd(plan, g):
+            # RoIAlign is linear in the features: the exact VJP is the
+            # gather formulation's fused 4N-row corner scatter applied to
+            # the mean-pooling-spread cotangent — no forward recompute
+            i00, Wrow, ws = multilevel_gather_plan(
+                rois, consts, featmap_strides, output_size, sr, aligned,
+                finest_scale, roi_valid)
+            R = rois.shape[0]
+            gs = jnp.broadcast_to(
+                g[:, :, None, :, None, :].astype(jnp.float32) / (sr * sr),
+                (R, oh, sr, ow, sr, C)).reshape(i00.shape + (C,))
+            res = (tuple(flat.shape), jnp.zeros((), flat.dtype),
+                   i00, Wrow, *ws)
+            dflat = _bilinear_gather_bwd(res, gs)[0]
+            return dflat, _zero_plan(plan)
 
     run.defvjp(run_fwd, run_bwd)
     return run(flat, plan)

@@ -231,8 +231,13 @@ def prepare_flat_levels(features):
     sizes = (B * heights * widths).astype(np.int64)
     level_offsets = np.concatenate(
         [[0], np.cumsum(sizes)[:-1]]).astype(np.int32)
+    # 128 zero tail rows: the Pallas strip kernel over-fetches up to
+    # window+8 rows past a level's last row (aligned DMA + sub-window
+    # levels); the pad keeps those DMAs in-bounds.  Gather/blocked
+    # impls never index past the real rows, so the pad is inert there.
     flat = jnp.concatenate(
-        [f.reshape(B * f.shape[1] * f.shape[2], C) for f in features],
+        [f.reshape(B * f.shape[1] * f.shape[2], C) for f in features]
+        + [jnp.zeros((128, C), features[0].dtype)],
         axis=0)
     return flat, dict(B=B, C=C, heights=heights, widths=widths,
                       level_offsets=level_offsets,
@@ -259,9 +264,28 @@ def multilevel_roi_align(features, rois, output_size, featmap_strides,
     if flat_pack is None:
         flat_pack = prepare_flat_levels(features[:len(featmap_strides)])
     flat, consts = flat_pack
-    num_levels = len(featmap_strides)
     C = consts["C"]
-    dtype = flat.dtype
+    i00, Wrow, (w00, w01, w10, w11) = multilevel_gather_plan(
+        rois, consts, featmap_strides, output_size, sr, aligned,
+        finest_scale, roi_valid)
+    # NOTE: keep per-row jnp.take gathers — lax.gather with (2, C) slice
+    # sizes looks cheaper on paper (half the descriptors) but Mosaic/XLA
+    # lowers non-collapsed slice dims to a sequential 400k-iteration while
+    # loop (profiled at 44x slower).  Row gathers are the vectorized path;
+    # the custom VJP fuses the 4 corner backward scatters into one.
+    vals = _bilinear_gather(flat, i00, Wrow, w00, w01, w10, w11)
+    R = rois.shape[0]
+    out_h, out_w = output_size
+    vals = vals.reshape(R, out_h, sr, out_w, sr, C)
+    return jnp.mean(vals, axis=(2, 4))
+
+
+def multilevel_gather_plan(rois, consts, featmap_strides, output_size, sr,
+                           aligned, finest_scale, roi_valid):
+    """Corner indices + bilinear weights for the multi-level gather —
+    shared by the XLA forward above and by the Pallas forward's
+    scatter-transpose backward (``pallas_roi_align_fused``)."""
+    num_levels = len(featmap_strides)
     heights = consts["heights"][:num_levels]
     widths = consts["widths"][:num_levels]
     level_offsets = consts["level_offsets"][:num_levels]
@@ -289,13 +313,4 @@ def multilevel_roi_align(features, rois, output_size, featmap_strides,
 
     i00 = base_off[:, None, None] + y0 * Wl[:, None, None] + x0
     Wrow = jnp.broadcast_to(Wl[:, None, None], i00.shape)
-    # NOTE: keep per-row jnp.take gathers — lax.gather with (2, C) slice
-    # sizes looks cheaper on paper (half the descriptors) but Mosaic/XLA
-    # lowers non-collapsed slice dims to a sequential 400k-iteration while
-    # loop (profiled at 44x slower).  Row gathers are the vectorized path;
-    # the custom VJP fuses the 4 corner backward scatters into one.
-    vals = _bilinear_gather(flat, i00, Wrow, w00, w01, w10, w11)
-    R = rois.shape[0]
-    out_h, out_w = output_size
-    vals = vals.reshape(R, out_h, sr, out_w, sr, C)
-    return jnp.mean(vals, axis=(2, 4))
+    return i00, Wrow, (w00, w01, w10, w11)

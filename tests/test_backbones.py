@@ -89,3 +89,30 @@ def test_hrfpn_levels():
     assert len(outs) == 5
     assert [o.shape[1] for o in outs] == [32, 16, 8, 4, 2]
     assert all(o.shape[-1] == 256 for o in outs)
+
+
+def test_res2net_structure_and_forward():
+    """Res2Net-50 (reference mmdet/models/backbones/res2net.py): deep
+    stem, Bottle2neck channel-split hierarchy, avg-down shortcuts."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from bonai_tpu.models.backbones.resnet import ResNet
+    m = ResNet(depth=50, base_channels=64, scales=4, base_width=26,
+               deep_stem=True, avg_down=True, frozen_stages=-1)
+    variables = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    outs = m.apply(variables, jnp.zeros((1, 64, 64, 3)))
+    assert [o.shape for o in outs] == [(1, 16, 16, 256), (1, 8, 8, 512),
+                                       (1, 4, 4, 1024), (1, 2, 2, 2048)]
+    p = variables["params"]
+    assert "stem_conv0" in p and "conv1" not in p      # deep stem
+    blk = p["layer1_0"]
+    # Bottle2neck: scales-1 = 3 hierarchical 3x3 convs of width
+    # floor(64 * 26/64) = 26
+    for i in range(3):
+        assert blk[f"conv2_{i}"]["kernel"].shape == (3, 3, 26, 26)
+    assert blk["conv1"]["kernel"].shape[-1] == 26 * 4
+    assert "ds_conv" in blk                            # avg-down shortcut
+    out2 = m.apply(variables, jnp.asarray(
+        np.random.RandomState(0).randn(1, 64, 64, 3), jnp.float32))
+    assert all(np.isfinite(np.asarray(o)).all() for o in out2)
