@@ -814,3 +814,49 @@ class MultiScaleFlipAug:
         results["flip"] = False
         results["flip_direction"] = None
         return self.transforms(results)
+
+
+@PIPELINES.register_module()
+class Pointobb2RBBox:
+    """Convert 4-point oriented boxes into regression encodings for the
+    rotated-bbox experiments (reference ``transforms.py:1744-1833``):
+    ``thetaobb`` -> (xc, yc, w, h, theta) via the minimum-area rect;
+    ``hobb`` -> (x1, y1, x2, y2, h) with the canonical first point
+    (closest roll to the axis-aligned reference corners);
+    ``pointobb`` -> passthrough.
+    Operates on every key in ``results['rbbox_fields']``.
+    """
+
+    def __init__(self, encoding_method="thetaobb"):
+        assert encoding_method in ("thetaobb", "hobb", "pointobb")
+        self.encoding_method = encoding_method
+
+    @staticmethod
+    def _best_point_sort(pointobb):
+        xs, ys = pointobb[0::2], pointobb[1::2]
+        ref = np.array([xs.min(), ys.min(), xs.max(), ys.min(),
+                        xs.max(), ys.max(), xs.min(), ys.max()])
+        rolls = [np.roll(pointobb, k) for k in (0, 2, 4, 6)]
+        d = [np.sum((c - ref) ** 2) for c in rolls]
+        return rolls[int(np.argmin(d))]
+
+    def __call__(self, results):
+        import cv2
+        for key in results.get("rbbox_fields", []):
+            rb = np.asarray(results[key], np.float32).reshape(-1, 8)
+            if self.encoding_method == "thetaobb":
+                out = []
+                for p in rb:
+                    rect = cv2.minAreaRect(
+                        np.round(p).astype(np.int64).reshape(4, 2))
+                    (x, y), (w, h), theta = rect
+                    out.append([x, y, w, h, theta])
+                results[key] = np.asarray(out, np.float32).reshape(-1, 5)
+            elif self.encoding_method == "hobb":
+                out = []
+                for p in rb:
+                    s = self._best_point_sort(p)
+                    h = float(np.hypot(s[6] - s[0], s[7] - s[1]))
+                    out.append([s[0], s[1], s[2], s[3], h])
+                results[key] = np.asarray(out, np.float32).reshape(-1, 5)
+        return results

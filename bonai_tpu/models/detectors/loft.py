@@ -55,6 +55,18 @@ class LOFT(TwoStageDetector):
         else:
             self.offset_head_m = OffsetHead(**common)
             self.foa = False
+        # polar offset regression (reference offset_head.py:175-186,
+        # 207-219): offsets ride the pipeline as (length, angle) via
+        # OffsetTransform('xy2la'); reg_num=3 regresses
+        # (length, cos(angle'), sin(angle')) of the coder-normalised pair
+        self.offset_coordinate = oh.get("offset_coordinate", "rectangle")
+        self.offset_reg_num = common["reg_num"]
+        if self.offset_coordinate == "polar":
+            assert not self.foa, \
+                "polar offsets pair with the plain OffsetHead (reference)"
+            from ...core.boxes import DeltaPolarOffsetCoder
+            self.polar_coder = DeltaPolarOffsetCoder(
+                self.offset_coder_means, self.offset_coder_stds)
         self.offset_extractor_cfg = dict(cfg["offset_roi_extractor"])
 
         # ---- experimental attribute heads (reference base_roi_head.py
@@ -212,6 +224,15 @@ class LOFT(TwoStageDetector):
                 self.offset_coder_means, self.offset_coder_stds)   # (E, BP, 2)
             w = roi_valid.astype(jnp.float32)[None, :, None]
             w = jnp.broadcast_to(w, targets.shape)
+        elif self.offset_coordinate == "polar":
+            enc = self.polar_coder.encode(flat_boxes, matched_off)
+            if self.offset_reg_num == 3:
+                targets = jnp.stack([enc[:, 0], jnp.cos(enc[:, 1]),
+                                     jnp.sin(enc[:, 1])], -1)
+            else:
+                targets = enc
+            w = roi_valid.astype(jnp.float32)[:, None]
+            w = jnp.broadcast_to(w, targets.shape)
         else:
             from ...core.boxes import offset2delta
             targets = offset2delta(flat_boxes, matched_off,
@@ -321,6 +342,20 @@ class LOFT(TwoStageDetector):
         else:
             fused = pred
         img_shape = jnp.asarray(img_shape)
+        if self.offset_coordinate == "polar":
+            if self.offset_reg_num == 3:
+                angle = jnp.arctan2(fused[:, 2], fused[:, 1])
+                fused = jnp.stack([fused[:, 0], angle], -1)
+            offsets = self.polar_coder.decode(rois[:, 1:5], fused)
+            offsets = offsets.reshape(b, p, 2)
+            # rescale the length component only; angles are scale-free
+            sf = jnp.asarray(scale_factor)[:, None]
+            offsets = jnp.stack([offsets[..., 0] / sf, offsets[..., 1]],
+                                -1)
+            out = {"offsets": offsets}
+            out.update(self._attribute_simple_test(
+                feats, rois, roi_valid, ofeats, b, p, flat_pack))
+            return out
         hs = jnp.repeat(img_shape[:, 0], p)
         ws = jnp.repeat(img_shape[:, 1], p)
         offsets = delta2offset(rois[:, 1:5], fused, self.offset_coder_means,
