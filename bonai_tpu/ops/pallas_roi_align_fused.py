@@ -105,7 +105,8 @@ def _plan(rois, consts, featmap_strides, output_size, sr, aligned,
     return dict(rows=rows.astype(jnp.int32),
                 first_occ=first_occ.astype(jnp.int32),
                 e0=e0.astype(jnp.int32),
-                lx=lx.astype(jnp.float32), ly=ly.astype(jnp.float32))
+                lx=lx.astype(jnp.float32), ly=ly.astype(jnp.float32),
+                wl=Wl.astype(jnp.int32))
 
 
 def _xy_weights(e0, lx, ly, nx, ny, window):
@@ -169,39 +170,56 @@ def _fwd_kernel(oh, ow, sr, window, C, R, dtype,
     out_ref[0] = jnp.mean(vals, axis=(1, 3)).astype(out_ref.dtype)
 
 
-def _bwd_kernel(oh, ow, sr, window, C, R,
-                rows_ref, focc_ref, e0_ref, lx_ref, ly_ref,
+def _bwd_kernel(oh, ow, sr, window, C, R, mmax, chains,
+                rows_ref, focc_ref, wl_ref, e0_ref, lx_ref, ly_ref,
                 rows_vec_ref, g_ref, dflat_in_ref, dflat_ref,
                 rbuf, wbuf, rsems, wsems):
     # dflat_in_ref is aliased to dflat_ref (same HBM buffer); all
-    # reads/writes go through the output ref
+    # reads/writes go through the output ref.
+    #
+    # K-chain pipelining: RoI r accumulates into partial buffer
+    # dflat[r % K].  The read-after-write fence then only reaches back
+    # to r-K (same buffer), so K RMW round-trips are in flight at once
+    # instead of a fully serial chain; the K partials are summed by the
+    # caller.  wbuf needs K slots because a slot's write DMA is only
+    # waited K steps later.
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     ny, nx = oh * sr, ow * sr
     n_strips = 2 * ny
     r = pl.program_id(0)
+    chain = jax.lax.rem(r, chains)
 
     def read_dma(roi, j):
         return pltpu.make_async_copy(
-            dflat_ref.at[pl.ds(pl.multiple_of(
+            dflat_ref.at[chain, pl.ds(pl.multiple_of(
                 rows_ref[roi * n_strips + j], 8), window), :],
             rbuf.at[j], rsems.at[j])
 
     def write_dma(roi, j):
         return pltpu.make_async_copy(
-            wbuf.at[j],
-            dflat_ref.at[pl.ds(pl.multiple_of(
+            wbuf.at[chain, j],
+            dflat_ref.at[chain, pl.ds(pl.multiple_of(
                 rows_ref[roi * n_strips + j], 8), window), :],
-            wsems.at[j])
+            wsems.at[chain, j])
 
-    # fence: previous RoI's writes must land before we read (strips of
-    # consecutive RoIs may overlap rows)
-    @pl.when(r > 0)
+    def write_dma_for(roi, j):
+        # DMA handle for a (possibly different-chain) earlier roi
+        c = jax.lax.rem(roi, chains)
+        return pltpu.make_async_copy(
+            wbuf.at[c, j],
+            dflat_ref.at[c, pl.ds(pl.multiple_of(
+                rows_ref[roi * n_strips + j], 8), window), :],
+            wsems.at[c, j])
+
+    # fence: the previous RoI ON THIS CHAIN must have its writes landed
+    # before we read the same partial buffer (their rows may overlap)
+    @pl.when(r >= chains)
     def _():
         for j in range(n_strips):
-            @pl.when(focc_ref[(r - 1) * n_strips + j] == 1)
+            @pl.when(focc_ref[(r - chains) * n_strips + j] == 1)
             def _():
-                write_dma(r - 1, j).wait()
+                write_dma_for(r - chains, j).wait()
 
     for j in range(n_strips):
         read_dma(r, j).start()
@@ -230,9 +248,52 @@ def _bwd_kernel(oh, ow, sr, window, C, R,
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST).reshape(n_strips, window, C)
 
+    # Symmetric partial-overlap sums: when the RoI's level is narrower
+    # than the window, strips at row distance m*Wl overlap.  Every strip
+    # covering a flat row must WRITE THE SAME TOTAL for it — then the
+    # unordered completion of overlapping write DMAs is benign.  Partner
+    # contributions are gathered with a one-hot strip matmul and shifted
+    # into place with a band-matrix matmul (dist is a traced scalar).
+    def _gather_shift(partner_mask, dist, left):
+        ps = jax.lax.dot_general(
+            partner_mask.astype(jnp.float32),
+            dstrips.reshape(n_strips, window * C),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)         # (S, window*C)
+        ps = ps.reshape(n_strips, window, C)
+        i_out = jax.lax.broadcasted_iota(jnp.int32, (window, window), 0)
+        i_in = jax.lax.broadcasted_iota(jnp.int32, (window, window), 1)
+        if left:       # out[w] = x[w + dist]
+            band = (i_in == i_out + dist).astype(jnp.float32)
+        else:          # out[w] = x[w - dist]
+            band = (i_in == i_out - dist).astype(jnp.float32)
+        shifted = jax.lax.dot_general(
+            band, ps.transpose(1, 0, 2).reshape(window, n_strips * C),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        return shifted.reshape(window, n_strips, C).transpose(1, 0, 2)
+
     for j in range(n_strips):
         read_dma(r, j).wait()
-    wbuf[:] = rbuf[:] + combined
+    # only THIS chain's slot: other slots may back in-flight write DMAs
+    wbuf[chain] = rbuf[:] + combined
+
+    if mmax > 0:
+        # only narrow-level RoIs (Wl < window) can have partial overlap;
+        # gate the partner matmuls so wide-level RoIs (the majority) pay
+        # nothing
+        @pl.when(wl_ref[r] < window)
+        def _():
+            acc = jnp.zeros_like(combined)
+            for m in range(1, mmax + 1):
+                dist = wl_ref[r] * m
+                below = (rv[:, None] - dist) == rv[None, :]  # k = j - m*Wl
+                above = (rv[:, None] + dist) == rv[None, :]  # k = j + m*Wl
+                acc = acc + _gather_shift(below, dist, left=True)
+                acc = acc + _gather_shift(above, dist, left=False)
+            wbuf[chain] = wbuf[chain] + acc
 
     for j in range(n_strips):
         @pl.when(focc_ref[r * n_strips + j] == 1)
@@ -241,10 +302,14 @@ def _bwd_kernel(oh, ow, sr, window, C, R,
 
     @pl.when(r == R - 1)
     def _():
-        for j in range(n_strips):
-            @pl.when(focc_ref[r * n_strips + j] == 1)
-            def _():
-                write_dma(r, j).wait()
+        # drain: the last K rois' writes are still outstanding
+        for d in range(min(chains, R)):
+            @pl.when(r - d >= 0)
+            def _(d=d):
+                for j in range(n_strips):
+                    @pl.when(focc_ref[(r - d) * n_strips + j] == 1)
+                    def _(j=j):
+                        write_dma_for(r - d, j).wait()
 
 
 def _pallas_fwd(flat, plan, oh, ow, sr, window, interpret):
@@ -283,14 +348,15 @@ def _pallas_fwd(flat, plan, oh, ow, sr, window, interpret):
       plan["e0"], plan["lx"], plan["ly"], flat)
 
 
-def _pallas_bwd(g, plan, P, C, oh, ow, sr, window, interpret):
+def _pallas_bwd(g, plan, P, C, oh, ow, sr, window, mmax, interpret,
+                chains=2):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     R = plan["rows"].shape[0]
     ny = oh * sr
     n_strips = 2 * ny
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(R,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),       # e0
@@ -304,20 +370,23 @@ def _pallas_bwd(g, plan, P, C, oh, ow, sr, window, interpret):
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((n_strips, window, C), jnp.float32),
-            pltpu.VMEM((n_strips, window, C), jnp.float32),
+            pltpu.VMEM((chains, n_strips, window, C), jnp.float32),
             pltpu.SemaphoreType.DMA((n_strips,)),
-            pltpu.SemaphoreType.DMA((n_strips,)),
+            pltpu.SemaphoreType.DMA((chains, n_strips)),
         ],
     )
-    kernel = functools.partial(_bwd_kernel, oh, ow, sr, window, C, R)
-    dflat0 = jnp.zeros((P, C), jnp.float32)
-    return pl.pallas_call(
+    kernel = functools.partial(_bwd_kernel, oh, ow, sr, window, C, R,
+                               mmax, chains)
+    dflat0 = jnp.zeros((chains, P, C), jnp.float32)
+    out = pl.pallas_call(
         kernel, grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((P, C), jnp.float32),
-        input_output_aliases={7: 0},   # dflat0 (5 scalar-prefetch + 2) -> out
+        out_shape=jax.ShapeDtypeStruct((chains, P, C), jnp.float32),
+        input_output_aliases={8: 0},   # dflat0 (3 scalar-prefetch + 5) -> out
         interpret=interpret,
     )(plan["rows"].reshape(-1), plan["first_occ"].reshape(-1),
-      plan["e0"], plan["lx"], plan["ly"], plan["rows"], g, dflat0)
+      plan["wl"], plan["e0"], plan["lx"], plan["ly"], plan["rows"], g,
+      dflat0)
+    return jnp.sum(out, axis=0)
 
 
 def pallas_multilevel_roi_align(features, rois, output_size,
@@ -370,8 +439,13 @@ def pallas_multilevel_roi_align(features, rois, output_size,
                 for k, v in plan.items()}
 
     if backward == "rmw":
+        # static bound on partial-overlap partner distance: strips within
+        # one RoI differ by multiples of its level width
+        min_w = int(np.min(consts["widths"][:len(featmap_strides)]))
+        mmax = max(0, (window - 1) // max(min_w, 1))
+
         def run_bwd(plan, g):
-            dflat = _pallas_bwd(g, plan, P, C, oh, ow, sr, window,
+            dflat = _pallas_bwd(g, plan, P, C, oh, ow, sr, window, mmax,
                                 interpret)
             return dflat.astype(flat.dtype), _zero_plan(plan)
     else:
