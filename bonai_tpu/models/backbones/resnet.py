@@ -76,6 +76,8 @@ class Bottleneck(nn.Module):
     expansion: int = 4
     groups: int = 1          # >1 with base_width: ResNeXt grouped bottleneck
     base_width: int = 4      # (reference: mmdet/models/backbones/resnext.py)
+    dcn: bool = False        # conv2 -> modulated deformable conv (DCNv2,
+                             # reference resnet.py ``dcn=`` stage plugin)
 
     @nn.compact
     def __call__(self, x):
@@ -88,8 +90,15 @@ class Bottleneck(nn.Module):
         out = conv(width, 1, 1, 0, "conv1", self.dtype)(x)
         out = FrozenBatchNorm(dtype=self.dtype, name="bn1")(out)
         out = nn.relu(out)
-        out = conv(width, 3, self.stride, 1, "conv2", self.dtype,
-                   groups=self.groups)(out)
+        if self.dcn:
+            from ...ops.deform_conv import ModulatedDeformConv2d
+            out = ModulatedDeformConv2d(
+                features=width, kernel_size=3, stride=self.stride,
+                padding=1, use_bias=False, dtype=self.dtype,
+                name="conv2")(out)
+        else:
+            out = conv(width, 3, self.stride, 1, "conv2", self.dtype,
+                       groups=self.groups)(out)
         out = FrozenBatchNorm(dtype=self.dtype, name="bn2")(out)
         out = nn.relu(out)
         out = conv(self.planes * self.expansion, 1, 1, 0, "conv3",
@@ -202,6 +211,8 @@ class ResNet(nn.Module):
     scales: int = 0            # >1: Res2Net Bottle2neck stages
     deep_stem: bool = False    # 3x 3x3 stem (Res2Net / ResNet-v1d)
     avg_down: bool = False     # avgpool+1x1 downsample shortcuts
+    dcn: Any = None            # truthy: DCNv2 conv2 in selected stages
+    stage_with_dcn: Sequence[bool] = (False, False, False, False)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -253,8 +264,10 @@ class ResNet(nn.Module):
                                   stage_type="stage" if ds else "normal",
                                   avg_down=self.avg_down)
                 elif block_cls is Bottleneck:
-                    kwargs.update(groups=self.groups,
-                                  base_width=self.base_width)
+                    kwargs.update(
+                        groups=self.groups, base_width=self.base_width,
+                        dcn=bool(self.dcn)
+                        and bool(self.stage_with_dcn[stage]))
                 x = block_cls(**kwargs)(x)
             if self.frozen_stages >= stage + 1:
                 x = jax.lax.stop_gradient(x)

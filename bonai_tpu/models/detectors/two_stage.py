@@ -153,6 +153,9 @@ class TwoStageDetector(nn.Module):
                 scales=bk.get("scales", 4 if res2 else 0),
                 deep_stem=bk.get("deep_stem", res2),
                 avg_down=bk.get("avg_down", res2),
+                dcn=bk.get("dcn"),
+                stage_with_dcn=tuple(bk.get("stage_with_dcn",
+                                            (False,) * 4)),
                 dtype=dt, name="backbone")
         nk = dict(self.neck)
         nk_type = nk.pop("type", "FPN")
