@@ -297,3 +297,120 @@ def frozen_param_filter(frozen_stages):
         return any(any(n.startswith(pref) for n in names)
                    for pref in prefixes)
     return is_frozen
+
+
+class RegNetBlock(nn.Module):
+    """RegNetX bottleneck (reference ``mmdet/models/backbones/regnet.py``
+    via ``Bottleneck`` with per-stage width/group, expansion 1)."""
+    width: int
+    bottleneck_width: int
+    groups: int
+    stride: int = 1
+    downsample: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        identity = x
+        out = conv(self.bottleneck_width, 1, 1, 0, "conv1", self.dtype)(x)
+        out = FrozenBatchNorm(dtype=self.dtype, name="bn1")(out)
+        out = nn.relu(out)
+        out = conv(self.bottleneck_width, 3, self.stride, 1, "conv2",
+                   self.dtype, groups=self.groups)(out)
+        out = FrozenBatchNorm(dtype=self.dtype, name="bn2")(out)
+        out = nn.relu(out)
+        out = conv(self.width, 1, 1, 0, "conv3", self.dtype)(out)
+        out = FrozenBatchNorm(dtype=self.dtype, name="bn3")(out)
+        if self.downsample:
+            identity = conv(self.width, 1, self.stride, 0, "ds_conv",
+                            self.dtype)(x)
+            identity = FrozenBatchNorm(dtype=self.dtype,
+                                       name="ds_bn")(identity)
+        return nn.relu(out + identity)
+
+
+class RegNet(nn.Module):
+    """RegNetX backbone (reference ``mmdet/models/backbones/regnet.py``;
+    arXiv 2003.13678): per-block widths from the quantized linear rule
+    ``w_j = w0 + wa*j`` snapped to powers of ``wm`` and ``divisor``,
+    grouped into stages; 32-ch 3x3/2 stem (no maxpool)."""
+    arch: Any = "regnetx_3.2gf"
+    out_indices: Sequence[int] = (0, 1, 2, 3)
+    frozen_stages: int = -1
+    stem_channels: int = 32
+    dtype: Any = jnp.float32
+
+    ARCH_SETTINGS = {
+        "regnetx_400mf": dict(w0=24, wa=24.48, wm=2.54, group_w=16,
+                              depth=22, bot_mul=1.0),
+        "regnetx_800mf": dict(w0=56, wa=35.73, wm=2.28, group_w=16,
+                              depth=16, bot_mul=1.0),
+        "regnetx_1.6gf": dict(w0=80, wa=34.01, wm=2.25, group_w=24,
+                              depth=18, bot_mul=1.0),
+        "regnetx_3.2gf": dict(w0=88, wa=26.31, wm=2.25, group_w=48,
+                              depth=25, bot_mul=1.0),
+        "regnetx_4.0gf": dict(w0=96, wa=38.65, wm=2.43, group_w=40,
+                              depth=23, bot_mul=1.0),
+        "regnetx_6.4gf": dict(w0=184, wa=60.83, wm=2.07, group_w=56,
+                              depth=17, bot_mul=1.0),
+        "regnetx_8.0gf": dict(w0=80, wa=49.56, wm=2.88, group_w=120,
+                              depth=23, bot_mul=1.0),
+        "regnetx_12gf": dict(w0=168, wa=73.36, wm=2.37, group_w=112,
+                             depth=19, bot_mul=1.0),
+    }
+
+    @staticmethod
+    def stage_plan(cfg, divisor=8):
+        """Per-stage (width, blocks, bottleneck width, groups) from the
+        RegNet rule (reference ``generate_regnet`` /
+        ``adjust_width_group`` / ``get_stages_from_blocks``)."""
+        w_cont = np.arange(cfg["depth"]) * cfg["wa"] + cfg["w0"]
+        ks = np.round(np.log(w_cont / cfg["w0"]) / np.log(cfg["wm"]))
+        widths = cfg["w0"] * np.power(cfg["wm"], ks)
+        widths = (np.round(widths / divisor) * divisor).astype(int)
+        stage_w, stage_b = [], []
+        for w in widths:
+            if not stage_w or stage_w[-1] != w:
+                stage_w.append(int(w))
+                stage_b.append(1)
+            else:
+                stage_b[-1] += 1
+        bw, groups = [], []
+        for w in stage_w:
+            wb = int(w * cfg["bot_mul"])
+            g = min(cfg["group_w"], wb)
+            wb = int(round(wb / g) * g)
+            bw.append(wb)
+            groups.append(wb // g)
+        stage_w = [int(round(b / cfg["bot_mul"])) for b in bw]
+        return stage_w, stage_b, bw, groups
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = dict(self.ARCH_SETTINGS[self.arch]) \
+            if isinstance(self.arch, str) else dict(self.arch)
+        stage_w, stage_b, bw, groups = self.stage_plan(cfg)
+        x = x.astype(self.dtype)
+        x = conv(self.stem_channels, 3, 2, 1, "conv1", self.dtype)(x)
+        x = FrozenBatchNorm(dtype=self.dtype, name="bn1")(x)
+        x = nn.relu(x)
+        if self.frozen_stages >= 0:
+            x = jax.lax.stop_gradient(x)
+        outs = []
+        in_ch = self.stem_channels
+        for stage in range(len(stage_w)):
+            for b in range(stage_b[stage]):
+                stride = 2 if b == 0 else 1
+                ds = b == 0 and (stride != 1 or in_ch != stage_w[stage])
+                x = RegNetBlock(width=stage_w[stage],
+                                bottleneck_width=bw[stage],
+                                groups=groups[stage],
+                                stride=stride, downsample=ds,
+                                dtype=self.dtype,
+                                name=f"layer{stage + 1}_{b}")(x)
+                in_ch = stage_w[stage]
+            if self.frozen_stages >= stage + 1:
+                x = jax.lax.stop_gradient(x)
+            if stage in self.out_indices:
+                outs.append(x)
+        return tuple(outs)

@@ -136,6 +136,13 @@ class TwoStageDetector(nn.Module):
                 frozen_stages=bk.get("frozen_stages", -1),
                 norm_eval=bk.get("norm_eval", True),
                 dtype=dt, name="backbone")
+        elif bk_type == "RegNet":
+            from ..backbones.resnet import RegNet
+            self.backbone_m = RegNet(
+                arch=bk.get("arch", "regnetx_3.2gf"),
+                out_indices=tuple(bk.get("out_indices", (0, 1, 2, 3))),
+                frozen_stages=bk.get("frozen_stages", -1),
+                dtype=dt, name="backbone")
         else:
             assert bk_type in ("ResNet", "ResNeXt", "Res2Net"), \
                 f"unsupported backbone {bk_type}"

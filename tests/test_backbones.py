@@ -116,3 +116,24 @@ def test_res2net_structure_and_forward():
     out2 = m.apply(variables, jnp.asarray(
         np.random.RandomState(0).randn(1, 64, 64, 3), jnp.float32))
     assert all(np.isfinite(np.asarray(o)).all() for o in out2)
+
+
+def test_regnet_widths_and_forward():
+    """RegNetX-3.2GF stage plan matches the published architecture
+    (widths [96, 192, 432, 1008], blocks [2, 6, 15, 2]); forward
+    produces a 4-level stride-4..32 pyramid."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from bonai_tpu.models.backbones.resnet import RegNet
+    cfg = RegNet.ARCH_SETTINGS["regnetx_3.2gf"]
+    sw, sb, bw, groups = RegNet.stage_plan(cfg)
+    assert sw == [96, 192, 432, 1008]
+    assert sb == [2, 6, 15, 2]
+    assert all(b % g == 0 for b, g in zip(bw, groups))
+    m = RegNet(arch="regnetx_400mf")
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    outs = m.apply(v, jnp.asarray(
+        np.random.RandomState(0).randn(1, 64, 64, 3), jnp.float32))
+    assert [o.shape[1] for o in outs] == [16, 8, 4, 2]
+    assert all(np.isfinite(np.asarray(o)).all() for o in outs)
