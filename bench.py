@@ -107,14 +107,17 @@ def main():
     state, metrics = step(state, batch, rng)
     _ = float(metrics["loss"])
 
-    # fetch real bytes every step: block_until_ready on the tunneled
-    # platform can signal before execution completes, so only a host
-    # fetch gives honest per-step timing
-    iters = 10
+    # Honest timing on the tunneled platform: block_until_ready can
+    # signal early, so the clock is closed by fetching real bytes.  But a
+    # PER-STEP fetch serialises a host round-trip into every step, so the
+    # timed block chains ``iters`` steps on device (each consumes the
+    # previous state) and fetches ONCE — the data dependency forces every
+    # step to complete before the final loss bytes can arrive.
+    iters = 30
     t0 = time.perf_counter()
     for i in range(iters):
         state, metrics = step(state, batch, jax.random.fold_in(rng, i))
-        _ = float(metrics["loss"])
+    _ = float(metrics["loss"])
     dt = (time.perf_counter() - t0) / iters
     img_per_sec = batch_size / dt
 
