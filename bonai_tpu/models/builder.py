@@ -28,10 +28,11 @@ def build_detector(cfg, train_cfg=None, test_cfg=None, compute_dtype=None,
     from .detectors import FasterRCNN, MaskRCNN, LOFT, TwoStageDetector
     from .detectors.single_stage import ATSS, FCOS, RetinaNet
     from .detectors.cascade_rcnn import CascadeRCNN
+    from .detectors.htc import HTC
     registry = {"FasterRCNN": FasterRCNN, "MaskRCNN": MaskRCNN,
                 "LOFT": LOFT, "TwoStageDetector": TwoStageDetector,
                 "RetinaNet": RetinaNet, "FCOS": FCOS, "ATSS": ATSS,
-                "CascadeRCNN": CascadeRCNN}
+                "CascadeRCNN": CascadeRCNN, "HTC": HTC}
     registry.update(DETECTORS.module_dict)
     cfg = _plain(dict(cfg))
     det_type = cfg.pop("type")

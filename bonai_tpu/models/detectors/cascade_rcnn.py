@@ -43,7 +43,8 @@ class CascadeRCNN(TwoStageDetector):
         self.bbox_head_m = self.bbox_heads_m[0]
         self.bbox_coder_cfg = self.bbox_coders[-1]
         self.bbox_extractor_cfg = dict(cfg["bbox_roi_extractor"])
-        if cfg.get("mask_head") is not None:
+        if cfg.get("mask_head") is not None \
+                and isinstance(cfg["mask_head"], dict):
             from ..roi_heads.mask_head import FCNMaskHead
             mh = dict(cfg["mask_head"])
             self.mask_head_m = FCNMaskHead(
