@@ -15,6 +15,7 @@ from typing import Any
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def conv_ws_2d(x, kernel, bias=None, stride=1, padding=1, eps=1e-5):
@@ -163,3 +164,131 @@ def masked_conv2d(x, mask, kernel, bias=None, padding=1):
     if bias is not None:
         out = out + bias
     return out * mask.astype(out.dtype)
+
+
+class GeneralizedAttention(nn.Module):
+    """Generalized attention block (reference ``mmcv.cnn.
+    GeneralizedAttention`` used by the empirical-attention configs;
+    arXiv 1904.05873).  ``attention_type`` toggles the four factorised
+    terms: [0] query-key content, [1] query & relative-position,
+    [2] key content only, [3] relative-position only.
+
+    TPU note: the reference's ``spatial_range`` locality mask and the
+    9x9 position approximation exist to bound the CUDA kernel's memory;
+    the dense (HW x HW) attention here is a pair of MXU matmuls and
+    needs no approximation at detection feature sizes.
+    """
+    num_heads: int = 9
+    attention_type: str = "1111"
+    kv_stride: int = 2
+    q_stride: int = 1
+    position_magnitude: int = 1
+    position_embedding_dim: int = -1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        heads = self.num_heads
+        at = [t == "1" for t in self.attention_type]
+        qh, qw = h // self.q_stride, w // self.q_stride
+        kh, kw = h // self.kv_stride, w // self.kv_stride
+        pe_dim = self.position_embedding_dim \
+            if self.position_embedding_dim > 0 else c
+        init = nn.initializers.normal(0.01)
+
+        xq = x[:, ::self.q_stride, ::self.q_stride]
+        xk = x[:, ::self.kv_stride, ::self.kv_stride]
+        dk = c // heads
+
+        def heads_split(t, hh, ww):
+            return t.reshape(b, hh * ww, heads, dk).transpose(0, 2, 1, 3)
+
+        energy = 0.0
+        if at[0] or at[1]:
+            q = nn.Conv(c, (1, 1), use_bias=False, dtype=self.dtype,
+                        kernel_init=init, name="query_conv")(xq)
+            q = heads_split(q, qh, qw)                  # (B, Hd, Nq, dk)
+        if at[0] or at[2]:
+            k = nn.Conv(c, (1, 1), use_bias=False, dtype=self.dtype,
+                        kernel_init=init, name="key_conv")(xk)
+            k = heads_split(k, kh, kw)                  # (B, Hd, Nk, dk)
+        if at[1] or at[3]:
+            # sinusoidal relative-position embedding -> projected keys
+            ry = (jnp.arange(qh, dtype=jnp.float32)[:, None]
+                  * self.q_stride
+                  - jnp.arange(kh, dtype=jnp.float32)[None, :]
+                  * self.kv_stride) / self.position_magnitude
+            rx = (jnp.arange(qw, dtype=jnp.float32)[:, None]
+                  * self.q_stride
+                  - jnp.arange(kw, dtype=jnp.float32)[None, :]
+                  * self.kv_stride) / self.position_magnitude
+
+            def embed(rel):
+                feat_dim = pe_dim // 2
+                freq = jnp.arange(feat_dim // 2, dtype=jnp.float32)
+                inv = 100.0 ** (2.0 * freq / feat_dim)
+                ang = rel[..., None] / inv
+                return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], -1)
+            ey = nn.Dense(dk, use_bias=False, dtype=self.dtype,
+                          kernel_init=init,
+                          name="appr_geom_y")(embed(ry))  # (qh, kh, dk)
+            ex = nn.Dense(dk, use_bias=False, dtype=self.dtype,
+                          kernel_init=init,
+                          name="appr_geom_x")(embed(rx))  # (qw, kw, dk)
+        if at[1]:
+            qg = nn.Conv(c, (1, 1), use_bias=False, dtype=self.dtype,
+                         kernel_init=init, name="geom_query_conv")(xq)
+            qg = heads_split(qg, qh, qw).reshape(b, heads, qh, qw, dk)
+        if at[2]:
+            kbias = self.param("key_content_bias", init, (heads, dk),
+                               jnp.float32).astype(self.dtype)
+        if at[3]:
+            gbias = self.param("geom_bias", init, (heads, dk),
+                               jnp.float32).astype(self.dtype)
+
+        if at[0]:
+            energy = energy + jnp.einsum("bhqd,bhkd->bhqk", q, k)
+        if at[2]:
+            energy = energy + jnp.einsum("hd,bhkd->bhk", kbias,
+                                         k)[:, :, None, :]
+        pos = 0.0
+        if at[1]:
+            pos = pos \
+                + jnp.einsum("bhyxd,ykd->bhyxk", qg, ey)[..., :, None] \
+                + jnp.einsum("bhyxd,xkd->bhyxk", qg, ex)[..., None, :]
+        if at[3]:
+            pos = pos \
+                + jnp.einsum("hd,ykd->hyk", gbias,
+                             ey)[None, :, :, None, :, None] \
+                + jnp.einsum("hd,xkd->hxk", gbias,
+                             ex)[None, :, None, :, None, :]
+        if at[1] or at[3]:
+            pos = jnp.broadcast_to(pos, (b, heads, qh, qw, kh, kw))
+            if at[0] or at[2]:
+                base = jnp.broadcast_to(
+                    jnp.asarray(energy),
+                    (b, heads, qh * qw, kh * kw)).reshape(
+                    b, heads, qh, qw, kh, kw)
+            else:
+                base = 0.0
+            energy = (base + pos).reshape(b, heads, qh * qw, kh * kw)
+        else:
+            # content-only modes may carry a broadcastable query dim
+            energy = jnp.broadcast_to(jnp.asarray(energy),
+                                      (b, heads, qh * qw, kh * kw))
+
+        attn = jax.nn.softmax(
+            jnp.asarray(energy).astype(jnp.float32) / np.sqrt(dk),
+            axis=-1).astype(x.dtype)
+        v = nn.Conv(c, (1, 1), use_bias=False, dtype=self.dtype,
+                    kernel_init=init, name="value_conv")(xk)
+        v = heads_split(v, kh, kw)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, qh, qw, c)
+        out = nn.Conv(c, (1, 1), dtype=self.dtype,
+                      kernel_init=nn.initializers.zeros,
+                      name="proj_conv")(out)
+        if self.q_stride > 1:
+            out = jax.image.resize(out, (b, h, w, c), method="bilinear")
+        return x + out

@@ -88,3 +88,22 @@ def test_masked_conv_zeroes_outside_mask():
     np.testing.assert_allclose(out[0, 2:4, 2:4], dense[0, 2:4, 2:4],
                                rtol=1e-5)
     assert (out[0, 0] == 0).all() and (out[0, 5] == 0).all()
+
+
+def test_generalized_attention_modes():
+    from bonai_tpu.ops.layers import GeneralizedAttention
+    r = np.random.RandomState(0)
+    x = jnp.asarray(r.randn(1, 8, 8, 18), jnp.float32)
+    for at in ("1000", "0010", "1111", "0101"):
+        m = GeneralizedAttention(num_heads=2, attention_type=at,
+                                 kv_stride=2)
+        v = m.init(jax.random.PRNGKey(0), x)
+        out = m.apply(v, x)
+        assert out.shape == x.shape
+        # zero-init proj conv -> identity at init
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x),
+                                   atol=1e-6, err_msg=at)
+        v2 = jax.tree_util.tree_map(lambda a: a + 0.05, v)
+        out2 = m.apply(v2, x)
+        assert np.isfinite(np.asarray(out2)).all()
+        assert not np.allclose(np.asarray(out2), np.asarray(x))
