@@ -475,7 +475,6 @@ def isr_p(label_weights, ious, pos_mask, labels, matched_gt, pos_loss_cls,
     n = labels.shape[0]
     pf = pos_mask.astype(jnp.float32)
     num_pos = jnp.sum(pf)
-    nc_guess = jnp.max(jnp.where(pos_mask, labels, 0)) + 1
     # per-label positive counts -> max_l_num
     counts = jnp.zeros(n, jnp.float32).at[
         jnp.where(pos_mask, labels, n - 1)].add(pf)
