@@ -43,8 +43,10 @@ class CascadeRCNN(TwoStageDetector):
         self.bbox_head_m = self.bbox_heads_m[0]
         self.bbox_coder_cfg = self.bbox_coders[-1]
         self.bbox_extractor_cfg = dict(cfg["bbox_roi_extractor"])
+        # NB: flax freezes dict attrs to FrozenDict — test by exclusion
+        # (HTC passes a per-stage LIST and builds its own heads)
         if cfg.get("mask_head") is not None \
-                and isinstance(cfg["mask_head"], dict):
+                and not isinstance(cfg["mask_head"], (list, tuple)):
             from ..roi_heads.mask_head import FCNMaskHead
             mh = dict(cfg["mask_head"])
             self.mask_head_m = FCNMaskHead(
@@ -56,6 +58,7 @@ class CascadeRCNN(TwoStageDetector):
             self.mask_extractor_cfg = dict(cfg["mask_roi_extractor"])
         else:
             self.mask_head_m = None
+        self.mask_iou_head_m = None
 
     def __call__(self, img):
         feats = self.extract_feat(img)

@@ -39,7 +39,7 @@ from ...ops.roi_align import multilevel_roi_align, prepare_flat_levels
 from ..backbones.resnet import ResNet
 from ..dense_heads.rpn_head import (RPNHead, rpn_loss, rpn_proposals_single)
 from ..losses import (binary_cross_entropy, cross_entropy, l1_loss,
-                      smooth_l1_loss, build_loss)
+                      mse_loss, smooth_l1_loss, build_loss)
 from ..necks.fpn import FPN
 from ..roi_heads.bbox_head import Shared2FCBBoxHead, bbox_targets_single
 from ..roi_heads.mask_head import FCNMaskHead
@@ -222,6 +222,22 @@ class TwoStageDetector(nn.Module):
             self.mask_extractor_cfg = dict(cfg["mask_roi_extractor"])
         else:
             self.mask_head_m = None
+        if cfg.get("mask_iou_head") is not None:
+            # Mask Scoring R-CNN (reference mask_scoring_roi_head.py)
+            from ..roi_heads.mask_head import MaskIoUHead
+            mi = dict(cfg["mask_iou_head"])
+            self.mask_iou_head_m = MaskIoUHead(
+                num_convs=mi.get("num_convs", 4),
+                num_fcs=mi.get("num_fcs", 2),
+                in_channels=mi.get("in_channels", 256),
+                conv_out_channels=mi.get("conv_out_channels", 256),
+                fc_out_channels=mi.get("fc_out_channels", 1024),
+                num_classes=mi.get("num_classes", 1),
+                dtype=dt, name="mask_iou_head")
+            self.mask_iou_loss_weight = dict(mi.get(
+                "loss_iou", {})).get("loss_weight", 0.5)
+        else:
+            self.mask_iou_head_m = None
 
     # ---------------- shared helpers ----------------
     @property
@@ -292,7 +308,10 @@ class TwoStageDetector(nn.Module):
         if self.with_mask:
             mf = self._roi_align_cfg(self.mask_extractor_cfg, feats, rois,
                                      None)
-            extra.append(self.mask_head_m(mf))
+            ml = self.mask_head_m(mf)
+            extra.append(ml)
+            if self.mask_iou_head_m is not None:
+                extra.append(self.mask_iou_head_m(mf, ml))
         extra += self._dummy_extra_heads(feats, rois)
         return outs, extra
 
@@ -549,7 +568,21 @@ class TwoStageDetector(nn.Module):
         loss_mask = binary_cross_entropy(
             logits, targets, jnp.broadcast_to(w, logits.shape),
             avg_factor=jnp.maximum(jnp.sum(w) * mask_size * mask_size, 1.0))
-        return {"loss_mask": loss_mask}
+        losses = {"loss_mask": loss_mask}
+        if self.mask_iou_head_m is not None:
+            from ..roi_heads.mask_head import mask_iou_targets
+            iou_pred = self.mask_iou_head_m(mask_feats, mask_logits)[:, 0]
+            iou_t = mask_iou_targets(
+                jax.lax.stop_gradient(logits), targets, rois[:, 1:5],
+                matched_boxes, matched_masks,
+                mask_thr=rcnn.get("mask_thr_binary", 0.5))
+            # reference maskiou_head.loss: MSE on positives with
+            # non-zero targets, weight loss_iou
+            wi = roi_valid.astype(jnp.float32) * (iou_t > 0)
+            losses["loss_mask_iou"] = self.mask_iou_loss_weight * \
+                mse_loss(iou_pred, iou_t, wi,
+                         avg_factor=jnp.maximum(jnp.sum(wi), 1.0))
+        return losses
 
     def _extra_forward_train(self, feats, batch, rcnn, pos_boxes, pos_is_pos,
                              pos_gt, flat_pack=None):
@@ -611,6 +644,15 @@ class TwoStageDetector(nn.Module):
             probs = jax.nn.sigmoid(mask_logits[..., 0])
             out["mask_probs"] = probs.reshape(
                 b, -1, *mask_logits.shape[1:3])
+            if self.mask_iou_head_m is not None:
+                # Mask Scoring: segm score = cls score * predicted IoU
+                # (reference maskiou_head.get_mask_scores)
+                iou_pred = self.mask_iou_head_m(mask_feats, mask_logits)
+                iou_sel = jnp.take_along_axis(
+                    iou_pred, jnp.clip(det_labels.reshape(-1, 1), 0,
+                                       iou_pred.shape[1] - 1), axis=1)
+                out["mask_scores"] = det_scores * \
+                    iou_sel.reshape(det_scores.shape)
         out.update(self._extra_simple_test(feats, det_boxes, det_valid,
                                            img_shape, scale_factor,
                                            flat_pack))

@@ -9,6 +9,7 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -120,3 +121,72 @@ class FusedSemanticHead(nn.Module):
         logits = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
                          kernel_init=kaiming, name="conv_logits")(x)
         return logits.astype(jnp.float32), embedding
+
+
+class MaskIoUHead(nn.Module):
+    """Mask Scoring R-CNN IoU head (reference
+    ``mmdet/models/roi_heads/mask_heads/maskiou_head.py``; arXiv
+    1903.00241): mask features concat the max-pooled mask prediction,
+    a conv tower (last conv stride 2) + FCs regress the predicted
+    mask's IoU with its gt, which rescores the segmentation."""
+    num_convs: int = 4
+    num_fcs: int = 2
+    in_channels: int = 256
+    conv_out_channels: int = 256
+    fc_out_channels: int = 1024
+    num_classes: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, mask_feat, mask_logits):
+        """mask_feat (N, S, S, C); mask_logits (N, 2S, 2S, nc)."""
+        kaiming = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+        pred = jnp.max(mask_logits, axis=-1, keepdims=True)
+        pred = nn.max_pool(pred, (2, 2), strides=(2, 2))
+        x = jnp.concatenate([mask_feat.astype(self.dtype),
+                             pred.astype(self.dtype)], -1)
+        for i in range(self.num_convs):
+            stride = 2 if i == self.num_convs - 1 else 1
+            x = nn.Conv(self.conv_out_channels, (3, 3),
+                        strides=(stride, stride),
+                        padding=[(1, 1), (1, 1)], dtype=self.dtype,
+                        kernel_init=kaiming, name=f"conv{i}")(x)
+            x = nn.relu(x)
+        x = x.reshape(x.shape[0], -1)
+        for i in range(self.num_fcs):
+            x = nn.relu(nn.Dense(self.fc_out_channels, dtype=self.dtype,
+                                 name=f"fc{i}")(x))
+        out = nn.Dense(self.num_classes, dtype=self.dtype,
+                       kernel_init=nn.initializers.normal(0.01),
+                       name="fc_mask_iou")(x)
+        return out.astype(jnp.float32)
+
+
+def mask_iou_targets(mask_logits, targets, pos_boxes, matched_gt_boxes,
+                     matched_inst_masks, mask_thr=0.5):
+    """Mask-IoU regression targets (reference ``maskiou_head.py:102-176``):
+    IoU between the binarised prediction (on the proposal grid) and the
+    WHOLE gt instance — the gt area outside the proposal enters through
+    the area ratio, computed here directly from the instance-local masks
+    (full gt pixels = mean(inst_mask) * gt_box_area).
+
+    Args:
+      mask_logits ``(P, 2S, 2S)``; targets ``(P, S', S')`` binary (same
+      grid as the logits after the caller resizes — here both 2S);
+      pos_boxes ``(P, 4)``; matched_gt_boxes ``(P, 4)``;
+      matched_inst_masks ``(P, M, M)``.
+    Returns ``(P,)`` IoU targets in [0, 1].
+    """
+    s = targets.shape[-1]
+    pred = (jax.nn.sigmoid(mask_logits) > mask_thr).astype(jnp.float32)
+    overlap = jnp.sum(pred * targets, axis=(-1, -2))
+    pred_area = jnp.sum(pred, axis=(-1, -2))
+    pw = jnp.maximum(pos_boxes[:, 2] - pos_boxes[:, 0], 1e-6)
+    ph = jnp.maximum(pos_boxes[:, 3] - pos_boxes[:, 1], 1e-6)
+    cell = (pw / s) * (ph / s)
+    gw = jnp.maximum(matched_gt_boxes[:, 2] - matched_gt_boxes[:, 0], 0.0)
+    gh = jnp.maximum(matched_gt_boxes[:, 3] - matched_gt_boxes[:, 1], 0.0)
+    full_pixels = jnp.mean(matched_inst_masks.astype(jnp.float32),
+                           axis=(-1, -2)) * gw * gh
+    gt_full_cells = full_pixels / jnp.maximum(cell, 1e-6)
+    return overlap / jnp.maximum(pred_area + gt_full_cells - overlap, 1e-6)

@@ -1,0 +1,66 @@
+"""Mask Scoring R-CNN (reference ``mmdet/models/roi_heads/
+mask_scoring_roi_head.py`` + ``maskiou_head.py``)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bonai_tpu.models import build_detector
+from bonai_tpu.models.roi_heads.mask_head import mask_iou_targets
+
+from test_models_forward import (demo_batch, tiny_loft_cfg, tiny_test_cfg,
+                                 tiny_train_cfg)
+
+
+def test_mask_iou_targets_hand_math():
+    """Pred == gt and the instance fully inside its proposal -> IoU 1;
+    pred empty -> 0; gt half outside the proposal halves the IoU."""
+    s = 8
+    t = jnp.ones((1, s, s))
+    logits_hit = jnp.full((1, s, s), 10.0)
+    box = jnp.asarray([[0.0, 0.0, 16.0, 16.0]])
+    inst = jnp.ones((1, 4, 4), jnp.uint8)
+    iou = mask_iou_targets(logits_hit, t, box, box, inst)
+    np.testing.assert_allclose(np.asarray(iou), [1.0], atol=1e-5)
+    iou0 = mask_iou_targets(jnp.full((1, s, s), -10.0), t, box, box, inst)
+    np.testing.assert_allclose(np.asarray(iou0), [0.0], atol=1e-5)
+    # gt box twice the proposal area -> half the gt outside
+    gt_box = jnp.asarray([[0.0, 0.0, 16.0, 32.0]])
+    iou_h = mask_iou_targets(logits_hit, t, box, gt_box, inst)
+    np.testing.assert_allclose(np.asarray(iou_h), [0.5], atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def ms_run():
+    cfg = tiny_loft_cfg()
+    cfg["type"] = "MaskRCNN"
+    cfg["roi_head"].pop("offset_head")
+    cfg["roi_head"].pop("offset_roi_extractor")
+    cfg["roi_head"]["mask_iou_head"] = dict(
+        num_convs=1, num_fcs=1, in_channels=32, conv_out_channels=32,
+        fc_out_channels=32, num_classes=1,
+        loss_iou=dict(loss_weight=0.5))
+    model = build_detector(cfg, tiny_train_cfg(), tiny_test_cfg())
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    return model, variables
+
+
+def test_mask_scoring_train(ms_run):
+    model, variables = ms_run
+    losses = model.apply(variables, demo_batch(0), method="forward_train",
+                         rngs={"sampling": jax.random.PRNGKey(2)})
+    assert "loss_mask_iou" in losses
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+
+
+def test_mask_scoring_test(ms_run):
+    model, variables = ms_run
+    b, size = 2, 128
+    img = jnp.asarray(np.random.RandomState(1).randn(b, size, size, 3),
+                      jnp.float32)
+    out = model.apply(variables, img, jnp.full((b, 2), float(size)),
+                      jnp.ones((b,)), method="simple_test")
+    assert out["mask_scores"].shape == out["det_scores"].shape
+    assert np.isfinite(np.asarray(out["mask_scores"])).all()
