@@ -173,6 +173,16 @@ class TwoStageDetector(nn.Module):
                 out_channels=nk.get("out_channels", 256),
                 num_outs=nk.get("num_outs", 5),
                 dtype=dt, name="neck")
+        elif nk_type == "PAFPN":
+            from ..necks.fpn import PAFPN
+            self.neck_m = PAFPN(
+                in_channels=tuple(nk.get("in_channels",
+                                         (256, 512, 1024, 2048))),
+                out_channels=nk.get("out_channels", 256),
+                num_outs=nk.get("num_outs", 5),
+                start_level=nk.get("start_level", 0),
+                add_extra_convs=bool(nk.get("add_extra_convs", False)),
+                dtype=dt, name="neck")
         else:
             assert nk_type == "FPN", f"unsupported neck {nk_type}"
             self.neck_m = FPN(
@@ -201,13 +211,30 @@ class TwoStageDetector(nn.Module):
     def _setup_roi_head(self, dt):
         cfg = dict(self.roi_head)
         bh = dict(cfg["bbox_head"])
-        self.bbox_head_m = Shared2FCBBoxHead(
-            num_classes=bh.get("num_classes", 1),
-            in_channels=bh.get("in_channels", 256),
-            fc_out_channels=bh.get("fc_out_channels", 1024),
-            roi_feat_size=bh.get("roi_feat_size", 7),
-            reg_class_agnostic=bh.get("reg_class_agnostic", False),
-            dtype=dt, name="bbox_head")
+        if bh.get("type", "Shared2FCBBoxHead") == "DoubleConvFCBBoxHead":
+            # Double-Head R-CNN (reference double_roi_head.py)
+            from ..roi_heads.bbox_head import DoubleConvFCBBoxHead
+            self.bbox_head_m = DoubleConvFCBBoxHead(
+                num_classes=bh.get("num_classes", 1),
+                num_convs=bh.get("num_convs", 4),
+                num_fcs=bh.get("num_fcs", 2),
+                in_channels=bh.get("in_channels", 256),
+                conv_out_channels=bh.get("conv_out_channels", 1024),
+                fc_out_channels=bh.get("fc_out_channels", 1024),
+                reg_class_agnostic=bh.get("reg_class_agnostic", False),
+                dtype=dt, name="bbox_head")
+            self.double_head = True
+            self.reg_roi_scale_factor = cfg.get("reg_roi_scale_factor",
+                                                1.3)
+        else:
+            self.bbox_head_m = Shared2FCBBoxHead(
+                num_classes=bh.get("num_classes", 1),
+                in_channels=bh.get("in_channels", 256),
+                fc_out_channels=bh.get("fc_out_channels", 1024),
+                roi_feat_size=bh.get("roi_feat_size", 7),
+                reg_class_agnostic=bh.get("reg_class_agnostic", False),
+                dtype=dt, name="bbox_head")
+            self.double_head = False
         self.bbox_coder_cfg = bh.get(
             "bbox_coder", dict(target_means=[0.] * 4, target_stds=[1.] * 4))
         self.bbox_extractor_cfg = dict(cfg["bbox_roi_extractor"])
@@ -278,6 +305,21 @@ class TwoStageDetector(nn.Module):
             finest_scale=extractor_cfg.get("finest_scale", 56),
             flat_pack=flat_pack)
 
+    def _bbox_head_forward(self, feats, rois, roi_valid, flat_pack=None):
+        """Shared bbox extraction + head call; Double-Head extracts the
+        reg branch from center-scaled RoIs (reference
+        ``double_roi_head.py:16-27`` ``reg_roi_scale_factor``)."""
+        bf = self._roi_align_cfg(self.bbox_extractor_cfg, feats, rois,
+                                 roi_valid, flat_pack=flat_pack)
+        if getattr(self, "double_head", False):
+            from ..roi_heads.bbox_head import scale_rois
+            rf = self._roi_align_cfg(
+                self.bbox_extractor_cfg, feats,
+                scale_rois(rois, self.reg_roi_scale_factor), roi_valid,
+                flat_pack=flat_pack)
+            return self.bbox_head_m(bf, rf)
+        return self.bbox_head_m(bf)
+
     def _flat_pack(self, feats):
         strides = list(self.bbox_extractor_cfg.get("featmap_strides",
                                                    [4, 8, 16, 32]))
@@ -303,8 +345,7 @@ class TwoStageDetector(nn.Module):
         rois = jnp.tile(jnp.asarray([[0., 0., 0., 32., 32.]]), (4, 1))
         strides = list(self.bbox_extractor_cfg.get(
             "featmap_strides", [4, 8, 16, 32]))
-        bf = self._roi_align_cfg(self.bbox_extractor_cfg, feats, rois, None)
-        extra = [self.bbox_head_m(bf)]
+        extra = [self._bbox_head_forward(feats, rois, None)]
         if self.with_mask:
             mf = self._roi_align_cfg(self.mask_extractor_cfg, feats, rois,
                                      None)
@@ -395,10 +436,8 @@ class TwoStageDetector(nn.Module):
           gt_bboxes, gt_labels)
 
         rois, roi_valid = boxes_to_rois(sampled_boxes, res["valid"])
-        bbox_feats = self._roi_align_cfg(self.bbox_extractor_cfg, feats,
-                                         rois, roi_valid,
-                                         flat_pack=flat_pack)
-        cls_score, bbox_pred = self.bbox_head_m(bbox_feats)
+        cls_score, bbox_pred = self._bbox_head_forward(
+            feats, rois, roi_valid, flat_pack)
 
         n_tot = b * num
         labels_f = labels.reshape(n_tot)
@@ -504,10 +543,8 @@ class TwoStageDetector(nn.Module):
         n_cand = cand.shape[1]
 
         rois, roi_valid = boxes_to_rois(cand, cand_valid)
-        cand_feats = self._roi_align_cfg(self.bbox_extractor_cfg, feats,
-                                         rois, roi_valid,
-                                         flat_pack=flat_pack)
-        cls_score, _ = self.bbox_head_m(cand_feats)
+        cls_score, _ = self._bbox_head_forward(feats, rois, roi_valid,
+                                               flat_pack)
         cls_score = jax.lax.stop_gradient(
             cls_score.astype(jnp.float32))           # (B*N, nc+1)
         nc = self.bbox_head_m.num_classes
@@ -611,10 +648,8 @@ class TwoStageDetector(nn.Module):
         b, n = proposals.shape[:2]
         flat_pack = self._flat_pack(feats)
         rois, roi_valid = boxes_to_rois(proposals, prop_valid)
-        bbox_feats = self._roi_align_cfg(self.bbox_extractor_cfg, feats,
-                                         rois, roi_valid,
-                                         flat_pack=flat_pack)
-        cls_score, bbox_pred = self.bbox_head_m(bbox_feats)
+        cls_score, bbox_pred = self._bbox_head_forward(
+            feats, rois, roi_valid, flat_pack)
         scores = jax.nn.softmax(cls_score, axis=-1).reshape(b, n, -1)
         coder = dict(self.bbox_coder_cfg)
         boxes_dec = jax.vmap(lambda r, d, s: delta2bbox(
@@ -752,9 +787,8 @@ class TwoStageDetector(nn.Module):
             if direction is not None:
                 props_v = _flip_boxes(props_v, ph, pw, direction)
             rois, roi_valid = boxes_to_rois(props_v, prop_valid)
-            bf = self._roi_align_cfg(self.bbox_extractor_cfg, feats, rois,
-                                     roi_valid)
-            cls_score, bbox_pred = self.bbox_head_m(bf)
+            cls_score, bbox_pred = self._bbox_head_forward(feats, rois,
+                                                           roi_valid)
             scores_v = jax.nn.softmax(cls_score, axis=-1).reshape(b, n, -1)
             boxes_v = jax.vmap(lambda r, d, s_: delta2bbox(
                 r, d, tuple(coder.get("target_means", (0.,) * 4)),

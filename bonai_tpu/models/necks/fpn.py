@@ -67,3 +67,64 @@ class FPN(nn.Module):
                                 dtype=self.dtype, kernel_init=xavier,
                                 name=f"extra_{i}")(src))
         return tuple(outs)
+
+
+class PAFPN(nn.Module):
+    """Path Aggregation FPN (reference ``mmdet/models/necks/pafpn.py``;
+    arXiv 1803.01534): FPN plus a bottom-up path — stride-2 downsample
+    convs feed each level into the next-coarser one, followed by 3x3
+    pafpn output convs."""
+    in_channels: Sequence[int] = (256, 512, 1024, 2048)
+    out_channels: int = 256
+    num_outs: int = 5
+    start_level: int = 0
+    add_extra_convs: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, inputs):
+        assert len(inputs) == len(self.in_channels)
+        used = len(self.in_channels) - self.start_level
+        xavier = nn.initializers.xavier_uniform()
+
+        laterals = [
+            nn.Conv(self.out_channels, (1, 1), use_bias=True,
+                    dtype=self.dtype, kernel_init=xavier,
+                    name=f"lateral_{i}")(inputs[self.start_level + i])
+            for i in range(used)
+        ]
+        for i in range(used - 1, 0, -1):
+            laterals[i - 1] = laterals[i - 1] \
+                + _upsample_nearest_2x(laterals[i])
+        inter = [
+            nn.Conv(self.out_channels, (3, 3), padding=[(1, 1), (1, 1)],
+                    use_bias=True, dtype=self.dtype, kernel_init=xavier,
+                    name=f"fpn_{i}")(laterals[i])
+            for i in range(used)
+        ]
+        # bottom-up aggregation
+        for i in range(used - 1):
+            inter[i + 1] = inter[i + 1] + nn.Conv(
+                self.out_channels, (3, 3), strides=(2, 2),
+                padding=[(1, 1), (1, 1)], use_bias=True, dtype=self.dtype,
+                kernel_init=xavier, name=f"downsample_{i}")(inter[i])
+        outs = [inter[0]] + [
+            nn.Conv(self.out_channels, (3, 3), padding=[(1, 1), (1, 1)],
+                    use_bias=True, dtype=self.dtype, kernel_init=xavier,
+                    name=f"pafpn_{i - 1}")(inter[i])
+            for i in range(1, used)
+        ]
+        if self.num_outs > used:
+            if not self.add_extra_convs:
+                for _ in range(self.num_outs - used):
+                    outs.append(outs[-1][:, ::2, ::2, :])
+            else:
+                extra_src = inputs[-1]
+                for i in range(self.num_outs - used):
+                    src = extra_src if i == 0 else outs[-1]
+                    outs.append(
+                        nn.Conv(self.out_channels, (3, 3), strides=(2, 2),
+                                padding=[(1, 1), (1, 1)], use_bias=True,
+                                dtype=self.dtype, kernel_init=xavier,
+                                name=f"extra_{i}")(src))
+        return tuple(outs)

@@ -69,3 +69,73 @@ def bbox_targets_single(sampled_boxes, sample_res, gt_bboxes, gt_labels,
     bbox_targets = deltas * w
     bbox_weights = jnp.broadcast_to(w, deltas.shape)
     return labels, label_weights, bbox_targets, bbox_weights
+
+
+class DoubleConvFCBBoxHead(nn.Module):
+    """Double-Head R-CNN bbox head (reference
+    ``mmdet/models/roi_heads/bbox_heads/double_bbox_head.py``; arXiv
+    1904.06493): classification from an FC branch on the cls RoI feats,
+    regression from a residual conv branch (BasicResBlock + bottlenecks
+    + global average pool) on the reg RoI feats.
+
+    Norm note: the reference trains BatchNorm inside the conv branch;
+    here the norms are affine-trainable frozen-stats BN like the rest of
+    the detection stack (stats never update — a documented deviation
+    that keeps the head a pure function of params)."""
+    num_classes: int = 1
+    num_convs: int = 4
+    num_fcs: int = 2
+    in_channels: int = 256
+    conv_out_channels: int = 1024
+    fc_out_channels: int = 1024
+    reg_class_agnostic: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x_cls, x_reg=None):
+        from ..backbones.resnet import Bottleneck, FrozenBatchNorm, conv
+        if x_reg is None:
+            x_reg = x_cls
+        n = x_cls.shape[0]
+        xavier = nn.initializers.xavier_uniform()
+
+        # conv branch (reg): BasicResBlock in_ch -> conv_out, then
+        # bottlenecks at conv_out//4 planes
+        ident = conv(self.conv_out_channels, 1, 1, 0, "res_ds_conv",
+                     self.dtype)(x_reg)
+        ident = FrozenBatchNorm(dtype=self.dtype, name="res_ds_bn")(ident)
+        t = conv(self.in_channels, 3, 1, 1, "res_conv1", self.dtype)(x_reg)
+        t = nn.relu(FrozenBatchNorm(dtype=self.dtype, name="res_bn1")(t))
+        t = conv(self.conv_out_channels, 1, 1, 0, "res_conv2",
+                 self.dtype)(t)
+        t = FrozenBatchNorm(dtype=self.dtype, name="res_bn2")(t)
+        xc = nn.relu(t + ident)
+        for i in range(self.num_convs):
+            xc = Bottleneck(planes=self.conv_out_channels // 4,
+                            dtype=self.dtype, name=f"conv_branch_{i}")(xc)
+        xc = jnp.mean(xc, axis=(1, 2))                   # global avg pool
+        reg_dim = 4 if self.reg_class_agnostic else 4 * self.num_classes
+        bbox_pred = nn.Dense(reg_dim, dtype=self.dtype,
+                             kernel_init=nn.initializers.normal(0.001),
+                             name="fc_reg")(xc)
+
+        # fc branch (cls)
+        xf = x_cls.reshape(n, -1)
+        for i in range(self.num_fcs):
+            xf = nn.relu(nn.Dense(self.fc_out_channels, dtype=self.dtype,
+                                  kernel_init=xavier,
+                                  name=f"fc_branch_{i}")(xf))
+        cls_score = nn.Dense(self.num_classes + 1, dtype=self.dtype,
+                             kernel_init=nn.initializers.normal(0.01),
+                             name="fc_cls")(xf)
+        return cls_score.astype(jnp.float32), bbox_pred.astype(jnp.float32)
+
+
+def scale_rois(rois, scale_factor):
+    """Scale RoI boxes about their centers (reference ``mmcv`` RoIAlign
+    ``roi_scale_factor`` used by Double-Head's reg branch)."""
+    cx = (rois[:, 1] + rois[:, 3]) * 0.5
+    cy = (rois[:, 2] + rois[:, 4]) * 0.5
+    hw = (rois[:, 3] - rois[:, 1]) * 0.5 * scale_factor
+    hh = (rois[:, 4] - rois[:, 2]) * 0.5 * scale_factor
+    return jnp.stack([rois[:, 0], cx - hw, cy - hh, cx + hw, cy + hh], -1)

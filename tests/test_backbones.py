@@ -137,3 +137,23 @@ def test_regnet_widths_and_forward():
         np.random.RandomState(0).randn(1, 64, 64, 3), jnp.float32))
     assert [o.shape[1] for o in outs] == [16, 8, 4, 2]
     assert all(np.isfinite(np.asarray(o)).all() for o in outs)
+
+
+def test_pafpn_structure():
+    """PAFPN (reference mmdet/models/necks/pafpn.py): bottom-up path
+    aggregation on top of FPN; shapes and param groups check."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from bonai_tpu.models.necks.fpn import PAFPN
+    m = PAFPN(in_channels=(8, 16, 32, 64), out_channels=8, num_outs=5)
+    ins = [jnp.asarray(np.random.RandomState(i).randn(1, 32 >> i, 32 >> i,
+                                                      c), jnp.float32)
+           for i, c in enumerate((8, 16, 32, 64))]
+    v = m.init(jax.random.PRNGKey(0), ins)
+    outs = m.apply(v, ins)
+    assert [o.shape[1] for o in outs] == [32, 16, 8, 4, 2]
+    p = v["params"]
+    for i in range(3):
+        assert f"downsample_{i}" in p and f"pafpn_{i}" in p
+    assert all(np.isfinite(np.asarray(o)).all() for o in outs)

@@ -64,3 +64,33 @@ def test_mask_scoring_test(ms_run):
                       jnp.ones((b,)), method="simple_test")
     assert out["mask_scores"].shape == out["det_scores"].shape
     assert np.isfinite(np.asarray(out["mask_scores"])).all()
+
+
+def test_double_head_train_and_test():
+    """Double-Head R-CNN (reference double_roi_head.py +
+    double_bbox_head.py): FC cls branch + residual conv reg branch on
+    center-scaled reg RoIs."""
+    cfg = tiny_loft_cfg()
+    cfg["type"] = "FasterRCNN"
+    for k in ("offset_head", "offset_roi_extractor", "mask_head",
+              "mask_roi_extractor"):
+        cfg["roi_head"].pop(k, None)
+    cfg["roi_head"]["reg_roi_scale_factor"] = 1.3
+    cfg["roi_head"]["bbox_head"] = dict(
+        type="DoubleConvFCBBoxHead", num_classes=1, num_convs=1,
+        num_fcs=1, in_channels=32, conv_out_channels=64,
+        fc_out_channels=32,
+        bbox_coder=dict(target_means=[0.0] * 4,
+                        target_stds=[0.1, 0.1, 0.2, 0.2]))
+    model = build_detector(cfg, tiny_train_cfg(), tiny_test_cfg())
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    p = variables["params"]["bbox_head"]
+    assert "conv_branch_0" in p and "fc_branch_0" in p
+    batch = demo_batch(0)
+    losses = model.apply(variables, batch, method="forward_train",
+                         rngs={"sampling": jax.random.PRNGKey(2)})
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+    out = model.apply(variables, batch["image"], batch["img_shape"],
+                      jnp.ones((2,)), method="simple_test")
+    assert np.isfinite(np.asarray(out["det_bboxes"])).all()
