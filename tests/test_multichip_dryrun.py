@@ -121,3 +121,18 @@ def test_eight_device_train_step():
     state, metrics2 = step(state, batch, jax.random.PRNGKey(2))
     assert np.isfinite(float(metrics2["loss"]))
     assert int(state.step) == 2
+
+
+def test_entry_program_has_no_weight_constants():
+    """Driver-gate regression: entry() must pass the model variables as
+    an ARGUMENT.  Closing over them bakes ~650 MB of weights into the
+    serialized program as constants, which the tunneled remote compiler
+    rejects (HTTP 413) — the single-chip compile gate then can never
+    pass."""
+    import jax
+    import __graft_entry__ as ge
+    fn, args = ge.entry()
+    lowered = jax.jit(fn).lower(*args)
+    size = len(lowered.compiler_ir(
+        dialect="stablehlo").operation.get_asm(binary=True))
+    assert size < 50_000_000, f"entry() program is {size/1e6:.0f} MB"
