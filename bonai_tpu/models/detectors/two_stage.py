@@ -196,15 +196,34 @@ class TwoStageDetector(nn.Module):
         # SemiRPNHead (reference mmdet/models/dense_heads/semi_rpn_head.py):
         # footprint-only images supervise the RPN with footprint boxes
         self.semi_rpn = rh.get("type", "RPNHead") == "SemiRPNHead"
-        ag_cfg = dict(rh.get("anchor_generator", {}))
-        ag_cfg.pop("type", None)
-        self.anchor_generator = AnchorGenerator(**ag_cfg)
-        self.rpn_head_m = RPNHead(
-            in_channels=rh.get("in_channels", 256),
-            feat_channels=rh.get("feat_channels", 256),
-            num_anchors=len(ag_cfg.get("ratios", [0.5, 1.0, 2.0]))
-            * len(ag_cfg.get("scales", [8])),
-            dtype=dt, name="rpn_head")
+        self.ga_rpn = rh.get("type", "RPNHead") == "GARPNHead"
+        if self.ga_rpn:
+            # Guided Anchoring RPN (reference ga_rpn_head.py)
+            from ..dense_heads.ga_rpn_head import GARPNHead
+            assert not self.semi_rpn
+            ag_cfg = dict(rh.get("approx_anchor_generator", {}))
+            self.ga_strides = [s if isinstance(s, (int, float)) else s[0]
+                               for s in ag_cfg.get(
+                                   "strides", [4, 8, 16, 32, 64])]
+            self.ga_octave_base_scale = ag_cfg.get("octave_base_scale", 8)
+            self.ga_scales_per_octave = ag_cfg.get("scales_per_octave", 3)
+            self.ga_ratios = tuple(ag_cfg.get("ratios", (0.5, 1.0, 2.0)))
+            self.ga_loc_filter_thr = rh.get("loc_filter_thr", 0.01)
+            self.rpn_head_m = GARPNHead(
+                in_channels=rh.get("in_channels", 256),
+                feat_channels=rh.get("feat_channels", 256),
+                dtype=dt, name="rpn_head")
+            self.anchor_generator = None
+        else:
+            ag_cfg = dict(rh.get("anchor_generator", {}))
+            ag_cfg.pop("type", None)
+            self.anchor_generator = AnchorGenerator(**ag_cfg)
+            self.rpn_head_m = RPNHead(
+                in_channels=rh.get("in_channels", 256),
+                feat_channels=rh.get("feat_channels", 256),
+                num_anchors=len(ag_cfg.get("ratios", [0.5, 1.0, 2.0]))
+                * len(ag_cfg.get("scales", [8])),
+                dtype=dt, name="rpn_head")
         self.rpn_bbox_coder = rh.get("bbox_coder", {})
         self._setup_roi_head(dt)
 
@@ -326,6 +345,9 @@ class TwoStageDetector(nn.Module):
         return prepare_flat_levels(feats[:len(strides)])
 
     def _rpn_and_proposals(self, feats, img_shape, proposal_cfg):
+        if getattr(self, "ga_rpn", False):
+            return self._ga_rpn_and_proposals(feats, img_shape,
+                                              proposal_cfg)
         cls_scores, bbox_preds = self.rpn_head_m(feats)
         sizes = [(int(f.shape[1]), int(f.shape[2])) for f in feats]
         anchors_levels = [jnp.asarray(a) for a in
@@ -335,6 +357,26 @@ class TwoStageDetector(nn.Module):
                 cs, bp, anchors_levels, ishape, proposal_cfg)
         )([s for s in cls_scores], [b for b in bbox_preds], img_shape)
         return cls_scores, bbox_preds, anchors_levels, props, scores, valid
+
+    def _ga_rpn_and_proposals(self, feats, img_shape, proposal_cfg):
+        """GA-RPN forward + proposals.  Returns the same 6-slot tuple as
+        the plain path; slot 0 carries (cls, reg, shape, loc) and slot 2
+        the square anchors (consumed by the GA loss branch)."""
+        from ..dense_heads.ga_rpn_head import (ga_proposals_single,
+                                               square_anchors)
+        cls_scores, bbox_preds, shape_preds, loc_preds = \
+            self.rpn_head_m(feats)
+        sizes = [(int(f.shape[1]), int(f.shape[2])) for f in feats]
+        squares = [jnp.asarray(s) for s in square_anchors(
+            sizes, self.ga_strides, self.ga_octave_base_scale)]
+        props, scores, valid = jax.vmap(
+            lambda cs, bp, sp, lp, ishape: ga_proposals_single(
+                cs, bp, sp, lp, squares, ishape, proposal_cfg,
+                loc_filter_thr=self.ga_loc_filter_thr)
+        )([s for s in cls_scores], [b for b in bbox_preds],
+          [s for s in shape_preds], [l for l in loc_preds], img_shape)
+        return ((cls_scores, bbox_preds, shape_preds, loc_preds), None,
+                squares, props, scores, valid)
 
     # ---------------- init path ----------------
     def __call__(self, img):
@@ -373,6 +415,25 @@ class TwoStageDetector(nn.Module):
         proposal_cfg = dict(self.train_cfg.get("rpn_proposal", {}))
         (cls_scores, bbox_preds, anchors_levels, proposals, _,
          prop_valid) = self._rpn_and_proposals(feats, img_shape, proposal_cfg)
+
+        if getattr(self, "ga_rpn", False):
+            from ..dense_heads.ga_rpn_head import (approx_anchors,
+                                                   ga_rpn_loss)
+            sizes = [(int(f.shape[1]), int(f.shape[2])) for f in feats]
+            approxs = [jnp.asarray(a) for a in approx_anchors(
+                sizes, self.ga_strides, self.ga_octave_base_scale,
+                self.ga_scales_per_octave, self.ga_ratios)]
+            cls_s, reg_s, shape_s, loc_s = cls_scores
+            losses = ga_rpn_loss(
+                cls_s, reg_s, shape_s, loc_s, anchors_levels, approxs,
+                gt_bboxes, gt_valid, rng_rpn,
+                dict(self.train_cfg["rpn"]), self.ga_strides,
+                self.ga_octave_base_scale, sizes)
+            losses.update(img_losses)
+            proposals = jax.lax.stop_gradient(proposals)
+            losses.update(self._roi_forward_train(
+                feats, proposals, prop_valid, batch, rng_rcnn))
+            return losses
 
         anchors_flat = jnp.concatenate(anchors_levels, axis=0)
         rpn_gt = gt_bboxes

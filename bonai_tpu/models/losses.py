@@ -523,3 +523,45 @@ def carl_loss(pos_cls_prob, pos_mask, reg_loss_raw, k=1.0, bias=0.2,
     if avg_factor is None:
         avg_factor = float(reg_loss_raw.shape[0])
     return jnp.sum(reg_loss_raw * (w * pf)[:, None]) / avg_factor
+
+
+def bounded_iou_loss(pred, target, beta=0.2, eps=1e-3):
+    """Bounded IoU loss (reference ``mmdet/models/losses/iou_loss.py:
+    33-75``; arXiv 1711.00164) — per-coordinate bounded terms with
+    smooth-L1 shaping.  Target terms are stop-gradiented like the
+    reference's no_grad block."""
+    pred_cx = (pred[..., 0] + pred[..., 2]) * 0.5
+    pred_cy = (pred[..., 1] + pred[..., 3]) * 0.5
+    pred_w = pred[..., 2] - pred[..., 0]
+    pred_h = pred[..., 3] - pred[..., 1]
+    t = jax.lax.stop_gradient(target)
+    t_cx = (t[..., 0] + t[..., 2]) * 0.5
+    t_cy = (t[..., 1] + t[..., 3]) * 0.5
+    t_w = t[..., 2] - t[..., 0]
+    t_h = t[..., 3] - t[..., 1]
+    dx = jnp.abs(t_cx - pred_cx)
+    dy = jnp.abs(t_cy - pred_cy)
+    loss_dx = 1 - jnp.maximum((t_w - 2 * dx) / (t_w + 2 * dx + eps), 0.0)
+    loss_dy = 1 - jnp.maximum((t_h - 2 * dy) / (t_h + 2 * dy + eps), 0.0)
+    loss_dw = 1 - jnp.minimum(t_w / (pred_w + eps), pred_w / (t_w + eps))
+    loss_dh = 1 - jnp.minimum(t_h / (pred_h + eps), pred_h / (t_h + eps))
+    comb = jnp.stack([loss_dx, loss_dy, loss_dw, loss_dh], -1)
+    return jnp.where(comb < beta, 0.5 * comb * comb / beta,
+                     comb - 0.5 * beta)
+
+
+@LOSSES.register_module()
+class BoundedIoULoss:
+    def __init__(self, beta=0.2, eps=1e-3, reduction="mean",
+                 loss_weight=1.0):
+        self.beta = beta
+        self.eps = eps
+        self.reduction = reduction
+        self.loss_weight = loss_weight
+
+    def __call__(self, pred, target, weight=None, avg_factor=None):
+        loss = bounded_iou_loss(pred, target, self.beta, self.eps)
+        if weight is not None and weight.ndim < loss.ndim:
+            weight = weight[..., None]
+        return self.loss_weight * weight_reduce_loss(
+            loss, weight, self.reduction, avg_factor)
