@@ -29,6 +29,10 @@ def results_to_host(device_out, metas, num_classes=1, mask_thr=0.5,
     valid = np.asarray(device_out["det_valid"], bool)
     masks = np.asarray(device_out.get("mask_probs")) \
         if "mask_probs" in device_out else None
+    # Mask Scoring R-CNN: per-det mask scores rescore the segm entries
+    # (reference mask_scoring_roi_head + segm2json score override)
+    mask_scores = np.asarray(device_out.get("mask_scores"), np.float32) \
+        if "mask_scores" in device_out else None
     offsets = np.asarray(device_out.get("offsets")) \
         if "offsets" in device_out else None
 
@@ -51,6 +55,8 @@ def results_to_host(device_out, metas, num_classes=1, mask_thr=0.5,
                 if sel.any() else np.zeros((0, 5), np.float32))
         if masks is not None:
             mp = masks[i][v]
+            ms_i = mask_scores[i][v] if mask_scores is not None else None
+            per_class_scores = []
             for c in range(num_classes):
                 sel = lb == c
                 rles = []
@@ -59,9 +65,12 @@ def results_to_host(device_out, metas, num_classes=1, mask_thr=0.5,
                                             thr=mask_thr)
                     rles = [mask_utils.encode_mask(m) for m in pasted]
                 segm_results.append(rles)
+                if ms_i is not None:
+                    per_class_scores.append(ms_i[sel])
         out = [bbox_results]
         if masks is not None:
-            out.append(segm_results)
+            out.append((segm_results, per_class_scores)
+                       if mask_scores is not None else segm_results)
         if with_offset and offsets is not None:
             out.append(offsets[i][v].astype(np.float32))
         results.append(tuple(out) if len(out) > 1 else bbox_results)

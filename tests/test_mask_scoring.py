@@ -94,3 +94,25 @@ def test_double_head_train_and_test():
     out = model.apply(variables, batch["image"], batch["img_shape"],
                       jnp.ones((2,)), method="simple_test")
     assert np.isfinite(np.asarray(out["det_bboxes"])).all()
+
+
+def test_results_to_host_mask_scores_roundtrip():
+    """Device mask_scores flow through results_to_host into the
+    (segms, mask_score) tuple that results2json's segm score override
+    consumes (reference segm2json)."""
+    from bonai_tpu.apis.test import results_to_host
+    out = dict(
+        det_bboxes=jnp.asarray([[[2.0, 2.0, 10.0, 10.0],
+                                 [0.0, 0.0, 4.0, 4.0]]]),
+        det_scores=jnp.asarray([[0.9, 0.4]]),
+        det_labels=jnp.zeros((1, 2), jnp.int32),
+        det_valid=jnp.asarray([[True, True]]),
+        mask_probs=jnp.ones((1, 2, 8, 8)) * 0.9,
+        mask_scores=jnp.asarray([[0.7, 0.2]]),
+    )
+    res = results_to_host(out, [dict(ori_shape=(16, 16))],
+                          with_offset=False)
+    bbox_results, seg = res[0]
+    segms, mask_score = seg
+    assert len(segms[0]) == 2
+    np.testing.assert_allclose(mask_score[0], [0.7, 0.2])
