@@ -36,12 +36,15 @@ def main():
     from bonai_tpu.models import build_detector
 
     cfg = Config.fromfile(args.config)
-    # pin the shanghai+xian test set (reference bonai_test.py:108-113)
+    # pin the shanghai+xian test set (reference bonai_test.py:108-113);
+    # --city config keeps the config's data.test untouched (synthetic /
+    # custom datasets)
     data_root = cfg.get("data_root", "data/BONAI/")
     test_cfg = dict(cfg.data.test)
-    test_cfg["ann_file"] = (
-        data_root + f"coco/bonai_{args.city}_test.json")
-    test_cfg["img_prefix"] = data_root + "test/images/"
+    if args.city != "config":
+        test_cfg["ann_file"] = (
+            data_root + f"coco/bonai_{args.city}_test.json")
+        test_cfg["img_prefix"] = data_root + "test/images/"
     test_cfg["test_mode"] = True
     if args.nms_score is not None:
         cfg.test_cfg.rcnn.nms.iou_threshold = args.nms_score
