@@ -297,3 +297,80 @@ class ATSS(nn.Module):
                     scale_factor)[:, None, None],
                 "det_scores": det_scores, "det_labels": det_labels,
                 "det_valid": det_valid}
+
+
+class FSAF(nn.Module):
+    """FSAF detector (reference ``mmdet/models/detectors/fsaf.py`` —
+    RetinaNet trunk with the feature-selective anchor-free head)."""
+    backbone: Any = None
+    neck: Any = None
+    bbox_head: Any = None
+    train_cfg: Any = None
+    test_cfg: Any = None
+    pretrained: Optional[str] = None
+    compute_dtype: str = "float32"
+
+    def setup(self):
+        from ..dense_heads.fsaf_head import FSAFHead
+        dt = _dtype(self.compute_dtype)
+        bk = dict(self.backbone)
+        bk.pop("type", None)
+        self.backbone_m = ResNet(
+            depth=bk.get("depth", 50),
+            base_channels=bk.get("base_channels", 64),
+            out_indices=tuple(bk.get("out_indices", (0, 1, 2, 3))),
+            frozen_stages=bk.get("frozen_stages", -1), dtype=dt,
+            name="backbone")
+        nk = dict(self.neck)
+        nk.pop("type", None)
+        self.neck_m = FPN(
+            in_channels=tuple(nk.get("in_channels", (256, 512, 1024, 2048))),
+            out_channels=nk.get("out_channels", 256),
+            num_outs=nk.get("num_outs", 5),
+            start_level=nk.get("start_level", 1),
+            add_extra_convs=bool(nk.get("add_extra_convs", False)),
+            dtype=dt, name="neck")
+        bh = dict(self.bbox_head)
+        self.num_classes = bh.get("num_classes", 80)
+        self.strides = tuple(bh.get("strides", (8, 16, 32, 64, 128)))
+        self.head_m = FSAFHead(
+            num_classes=self.num_classes,
+            in_channels=bh.get("in_channels", 256),
+            feat_channels=bh.get("feat_channels", 256),
+            stacked_convs=bh.get("stacked_convs", 4),
+            dtype=dt, name="bbox_head")
+        self.pos_scale = dict(self.train_cfg or {}).get(
+            "assigner", {}).get("pos_scale", 0.2)
+        lc = dict(bh.get("loss_cls", {}))
+        self.focal_gamma = lc.get("gamma", 2.0)
+        self.focal_alpha = lc.get("alpha", 0.25)
+
+    def extract_feat(self, img):
+        return self.neck_m(self.backbone_m(img))
+
+    def __call__(self, img):
+        return self.head_m(self.extract_feat(img))
+
+    def forward_train(self, batch):
+        from ..dense_heads.fsaf_head import fsaf_loss
+        feats = self.extract_feat(batch["image"])
+        cls_scores, reg_preds = self.head_m(feats)
+        return fsaf_loss(cls_scores, reg_preds, batch["gt_bboxes"],
+                         batch["gt_valid"], batch["gt_labels"],
+                         self.num_classes, self.strides,
+                         pos_scale=self.pos_scale,
+                         gamma=self.focal_gamma, alpha=self.focal_alpha)
+
+    def simple_test(self, img, img_shape, scale_factor):
+        from ..dense_heads.fsaf_head import fsaf_bboxes_single
+        feats = self.extract_feat(img)
+        cls_scores, reg_preds = self.head_m(feats)
+        cfg = dict(self.test_cfg)
+        det_boxes, det_scores, det_labels, det_valid = jax.vmap(
+            lambda cs, rp, ishape: fsaf_bboxes_single(
+                cs, rp, ishape, self.num_classes, self.strides, cfg)
+        )([c for c in cls_scores], [r for r in reg_preds], img_shape)
+        return {"det_bboxes": det_boxes / jnp.asarray(
+                    scale_factor)[:, None, None],
+                "det_scores": det_scores, "det_labels": det_labels,
+                "det_valid": det_valid}
