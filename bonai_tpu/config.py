@@ -20,7 +20,6 @@ import ast
 import copy
 import os
 import os.path as osp
-import sys
 import tempfile
 import types
 

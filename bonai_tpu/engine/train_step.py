@@ -11,7 +11,6 @@ bucketing: XLA fuses and overlaps the collectives with the backward pass.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable
 
 import jax

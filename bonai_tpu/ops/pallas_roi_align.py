@@ -26,15 +26,12 @@ Not yet the default path.
 
 from __future__ import annotations
 
-import functools
-import math
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .roi_align import (map_roi_levels, prepare_flat_levels, _sample_coords,
-                        multilevel_roi_align)
+from .roi_align import (map_roi_levels, prepare_flat_levels,
+                        _sample_coords)
 
 
 def _plan(rois, consts, featmap_strides, output_size, sr, aligned,

@@ -23,7 +23,6 @@ configs).  TPU-first redesign:
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
