@@ -78,7 +78,7 @@ def train_detector(cfg, work_dir, seed=0, resume_from=None, load_from=None,
         dataset, samples_per_gpu=data_cfg.get("samples_per_gpu", 2),
         workers_per_gpu=data_cfg.get("workers_per_gpu", 2),
         num_devices=nd, seed=seed,
-        max_gt=data_cfg.get("max_gt", 128),
+        max_gt=data_cfg.get("max_gt", 256),
         inst_mask_size=data_cfg.get("inst_mask_size", 112))
     steps_per_epoch = max(len(loader), 1)
     total_epochs = cfg.get("total_epochs", 12)
@@ -103,8 +103,18 @@ def train_detector(cfg, work_dir, seed=0, resume_from=None, load_from=None,
             cfg.model["pretrained"], params, batch_stats)
 
     opt_cfg = dict(cfg.optimizer)
-    # reference lr is per-4-GPU; linear-scale with the actual DP width the
-    # same way users scale mmdet configs
+    # Config lr is used as-is by default (mmdet convention: users scale lr
+    # manually when changing GPU count).  Opt-in linear scaling: set
+    # ``auto_scale_lr = dict(enable=True, base_batch_size=N)`` and the lr
+    # is multiplied by (samples_per_gpu * n_devices) / base_batch_size.
+    asl = dict(cfg.get("auto_scale_lr", {}) or {})
+    if asl.get("enable", False):
+        base_bs = int(asl.get("base_batch_size", 8))
+        global_bs = data_cfg.get("samples_per_gpu", 2) * nd
+        scale = global_bs / base_bs
+        opt_cfg["lr"] = opt_cfg.get("lr", 0.02) * scale
+        logger.info("auto_scale_lr: global batch %d vs base %d -> lr %.6f",
+                    global_bs, base_bs, opt_cfg["lr"])
     lr_cfg = dict(cfg.get("lr_config", {}))
     schedule = build_lr_schedule(
         base_lr=opt_cfg.get("lr", 0.02), steps_per_epoch=steps_per_epoch,
@@ -167,6 +177,9 @@ def train_detector(cfg, work_dir, seed=0, resume_from=None, load_from=None,
                 t0 = time.time()
                 rec = dict(epoch=epoch + 1, iter=step, time=round(dt, 3),
                            **{k: round(v, 4) for k, v in metrics.items()})
+                if loader.truncated_samples:
+                    rec["gt_truncated"] = loader.truncated_instances
+                    rec["gt_truncated_samples"] = loader.truncated_samples
                 history.append(rec)
                 logger.info("Epoch [%d][%d/%d] %s", epoch + 1,
                             step - epoch * steps_per_epoch, steps_per_epoch,

@@ -85,8 +85,11 @@ class BONAI(CocoDataset):
                 continue
             bboxes.append([x1, y1, x1 + w, y1 + h])
             labels.append(self.cat2label[ann["category_id"]])
-            if ann.get("only_footprint", 0) == 1:
-                only_footprint_flag = 1
+            if "only_footprint" in ann:
+                # last-value-wins: the flag is re-evaluated for every ann
+                # that carries the key and retained when absent
+                # (reference bonai.py:162-167)
+                only_footprint_flag = 1 if ann["only_footprint"] == 1 else 0
             if only_footprint_flag:
                 # semi-supervised footprint-only image: the training mask
                 # is forced to the footprint regardless of mask_type

@@ -55,9 +55,85 @@ class ConcatDataset:
         return d.get_ann_info(i)
 
 
+class RepeatDataset:
+    """Repeat a dataset ``times`` over — amortises epoch-boundary costs for
+    small datasets (reference ``dataset_wrappers.py:55-94``)."""
+
+    def __init__(self, dataset, times):
+        self.dataset = dataset
+        self.times = times
+        self.CLASSES = dataset.CLASSES
+        self._ori_len = len(dataset)
+
+    def __len__(self):
+        return self.times * self._ori_len
+
+    def prepare(self, idx, rng=None):
+        return self.dataset.prepare(idx % self._ori_len, rng)
+
+    def get_ann_info(self, idx):
+        return self.dataset.get_ann_info(idx % self._ori_len)
+
+    def get_cat_ids(self, idx):
+        return self.dataset.get_cat_ids(idx % self._ori_len)
+
+    @property
+    def test_mode(self):
+        return self.dataset.test_mode
+
+
+class ClassBalancedDataset:
+    """LVIS-style repeat-factor oversampling: image-level repeat factor
+    ``r(I) = max_c max(1, sqrt(thr / f(c)))`` over the categories in the
+    image (reference ``dataset_wrappers.py:97-198``)."""
+
+    def __init__(self, dataset, oversample_thr):
+        import math
+        self.dataset = dataset
+        self.oversample_thr = oversample_thr
+        self.CLASSES = dataset.CLASSES
+        n = len(dataset)
+        freq = {}
+        per_img_cats = []
+        for i in range(n):
+            cats = set(dataset.get_cat_ids(i))
+            per_img_cats.append(cats)
+            for c in cats:
+                freq[c] = freq.get(c, 0) + 1
+        cat_repeat = {c: max(1.0, math.sqrt(oversample_thr / (v / n)))
+                      for c, v in freq.items()}
+        self.repeat_indices = []
+        for i, cats in enumerate(per_img_cats):
+            r = max((cat_repeat[c] for c in cats), default=1.0)
+            self.repeat_indices.extend([i] * int(math.ceil(r)))
+
+    def __len__(self):
+        return len(self.repeat_indices)
+
+    def prepare(self, idx, rng=None):
+        return self.dataset.prepare(self.repeat_indices[idx], rng)
+
+    def get_ann_info(self, idx):
+        return self.dataset.get_ann_info(self.repeat_indices[idx])
+
+    def get_cat_ids(self, idx):
+        return self.dataset.get_cat_ids(self.repeat_indices[idx])
+
+    @property
+    def test_mode(self):
+        return self.dataset.test_mode
+
+
 def build_dataset(cfg, default_args=None):
     _register_defaults()
     cfg = dict(cfg)
+    if cfg.get("type") == "RepeatDataset":
+        return RepeatDataset(build_dataset(cfg["dataset"], default_args),
+                             cfg["times"])
+    if cfg.get("type") == "ClassBalancedDataset":
+        return ClassBalancedDataset(
+            build_dataset(cfg["dataset"], default_args),
+            cfg["oversample_thr"])
     ann_file = cfg.get("ann_file")
     if isinstance(ann_file, (list, tuple)):
         # per-city prefix plumbing (reference builder.py:26-55): each
@@ -121,6 +197,7 @@ def pack_sample(result, max_gt, inst_mask_size, train=True):
     offsets = result.get("gt_offsets", np.zeros((len(boxes), 2), np.float32))
     polys = result.get("gt_masks", [[] for _ in range(len(boxes))])
     n = min(len(boxes), max_gt)
+    n_truncated = len(boxes) - n  # surfaced via img_metas + loader counter
     gt_bboxes = np.zeros((max_gt, 4), np.float32)
     gt_labels = np.zeros((max_gt,), np.int32)
     gt_valid = np.zeros((max_gt,), bool)
@@ -158,13 +235,19 @@ def pack_sample(result, max_gt, inst_mask_size, train=True):
     for key in ("gt_offset_field", "gt_edge_maps", "gt_side_face_maps"):
         if key in result:
             out[key] = np.asarray(result[key], np.float32)
-    return out, result.get("img_metas", {})
+    metas = dict(result.get("img_metas", {}))
+    if n_truncated:
+        # dropped GT becomes false "background" for the RPN/RCNN losses;
+        # never drop silently (the reference has no cap at all,
+        # mmdet/datasets/bonai.py:105-256)
+        metas["gt_truncated"] = n_truncated
+    return out, metas
 
 
 class DataLoader:
     """Thread-prefetched fixed-shape batch iterator."""
 
-    def __init__(self, dataset, batch_size, max_gt=128, inst_mask_size=112,
+    def __init__(self, dataset, batch_size, max_gt=256, inst_mask_size=112,
                  shuffle=True, seed=0, train=True, drop_last=None,
                  shard_id=0, num_shards=1, prefetch=2):
         self.dataset = dataset
@@ -179,6 +262,10 @@ class DataLoader:
         self.num_shards = num_shards
         self.prefetch = prefetch
         self.epoch = 0
+        # running truncation telemetry (weak-spot guard: max_gt must not
+        # silently drop dense-tile ground truth)
+        self.truncated_instances = 0
+        self.truncated_samples = 0
 
     def __len__(self):
         if self.drop_last:
@@ -234,6 +321,9 @@ class DataLoader:
                 if k >= len(indices):
                     k = k % max(len(indices), 1)
                 s, m = self._load_one(indices[k], rng)
+                if m.get("gt_truncated"):
+                    self.truncated_instances += m["gt_truncated"]
+                    self.truncated_samples += 1
                 samples.append(s)
                 metas.append(m)
             batch = {k: np.stack([s[k] for s in samples])
@@ -253,7 +343,7 @@ class DataLoader:
 
 
 def build_dataloader(dataset, samples_per_gpu, workers_per_gpu=2,
-                     num_devices=1, shuffle=True, seed=0, max_gt=128,
+                     num_devices=1, shuffle=True, seed=0, max_gt=256,
                      inst_mask_size=112, train=True, shard_id=0,
                      num_shards=1, **kwargs):
     """reference: ``mmdet/datasets/builder.py:77-144``.  The global batch is

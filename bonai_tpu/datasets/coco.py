@@ -68,6 +68,12 @@ class CocoDataset:
         anns = self.coco.load_anns_for_img(img_info["id"])
         return self._parse_ann_info(img_info, anns)
 
+    def get_cat_ids(self, idx):
+        """Category ids present in image ``idx`` (reference
+        ``coco.py:87-98``; consumed by ClassBalancedDataset)."""
+        anns = self.coco.load_anns_for_img(self.data_infos[idx]["id"])
+        return [a["category_id"] for a in anns]
+
     def _parse_ann_info(self, img_info, ann_info):
         bboxes, labels, masks = [], [], []
         for ann in ann_info:

@@ -38,7 +38,7 @@ data = dict(
     samples_per_gpu=2,
     workers_per_gpu=2,
     # static-shape padding capacities (TPU-specific)
-    max_gt=128,
+    max_gt=256,
     inst_mask_size=112,
     train=dict(type=dataset_type, ann_file=train_ann_file,
                img_prefix=img_prefix, bbox_type='building',

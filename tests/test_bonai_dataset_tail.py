@@ -204,3 +204,34 @@ def test_write_results2csv(tmp_path):
     assert "roof" in text and "footprint" in text
     assert "F1 Score,0.5" in text
     assert "True Positive,10" in text
+
+
+def test_only_footprint_last_value_wins(tmp_path):
+    """The flag is re-evaluated per ann carrying the key (reference
+    bonai.py:162-167): a later only_footprint=0 switches masks back."""
+    root = str(tmp_path)
+    json_path, img_dir = make_bonai_dataset(root, num_images=1, size=128,
+                                            buildings_per_img=3)
+    with open(json_path) as f:
+        data = json.load(f)
+    anns = data["annotations"]
+    anns[0]["only_footprint"] = 1
+    anns[1]["only_footprint"] = 0
+    # anns[2] has no key: retains the previous (0) value
+    with open(json_path, "w") as f:
+        json.dump(data, f)
+    from bonai_tpu.datasets import build_dataset
+    ds = build_dataset(dict(
+        type="BONAI", ann_file=json_path, img_prefix=img_dir,
+        bbox_type="building", mask_type="roof",
+        pipeline=[dict(type="LoadImageFromFile"),
+                  dict(type="LoadAnnotations", with_bbox=True,
+                       with_mask=True),
+                  dict(type="Collect", keys=["img", "gt_bboxes"])]))
+    ann = ds.get_ann_info(0)
+    m = [np.asarray(x, np.float64) for x in ann["masks"]]
+    roof = [np.asarray(x, np.float64) for x in ann["roof_masks"]]
+    fp = [np.asarray(x, np.float64) for x in ann["footprint_masks"]]
+    np.testing.assert_array_equal(m[0], fp[0])      # flag=1 -> footprint
+    np.testing.assert_array_equal(m[1], roof[1])    # flag reset to 0 -> roof
+    np.testing.assert_array_equal(m[2], roof[2])    # no key: stays 0

@@ -161,3 +161,44 @@ def test_semi_supervised_plumbing(tmp_path):
     assert s["gt_only_footprint_flag"] == 1.0
     # footprint boxes transformed consistently with building boxes
     assert (s["gt_footprint_bboxes"][:6, 2] > s["gt_footprint_bboxes"][:6, 0]).all()
+
+
+def test_repeat_dataset_wrapper(bonai_ds, tmp_path):
+    json_path, img_dir = make_bonai_dataset(str(tmp_path), num_images=3)
+    ds = build_dataset(dict(
+        type="RepeatDataset", times=4,
+        dataset=dict(type="BONAI", ann_file=json_path, img_prefix=img_dir,
+                     pipeline=TRAIN_PIPELINE)))
+    assert len(ds) == 12
+    a = ds.get_ann_info(1)
+    b = ds.get_ann_info(1 + 3)
+    np.testing.assert_allclose(a["bboxes"], b["bboxes"])
+    assert ds.prepare(7, np.random.RandomState(0)) is not None
+
+
+def test_class_balanced_dataset_wrapper(tmp_path):
+    json_path, img_dir = make_bonai_dataset(str(tmp_path), num_images=4)
+    ds = build_dataset(dict(
+        type="ClassBalancedDataset", oversample_thr=1.0,
+        dataset=dict(type="BONAI", ann_file=json_path, img_prefix=img_dir,
+                     pipeline=TRAIN_PIPELINE)))
+    # single-category dataset: f(c)=1 -> r=max(1, sqrt(thr/1)) = 1 -> no
+    # oversampling at thr=1.0
+    assert len(ds) == 4
+    # thr=4.0 -> r = sqrt(4/1) = 2 per image
+    ds2 = build_dataset(dict(
+        type="ClassBalancedDataset", oversample_thr=4.0,
+        dataset=dict(type="BONAI", ann_file=json_path, img_prefix=img_dir,
+                     pipeline=TRAIN_PIPELINE)))
+    assert len(ds2) == 8
+    assert ds2.prepare(5, np.random.RandomState(0)) is not None
+
+
+def test_loader_counts_gt_truncation(bonai_ds):
+    loader = build_dataloader(bonai_ds, samples_per_gpu=2, num_devices=1,
+                              seed=0, max_gt=2, inst_mask_size=32)
+    _ = list(loader)
+    # helper datasets have ~6 buildings/img > max_gt=2: every sample
+    # truncates and the loader must expose the count
+    assert loader.truncated_samples > 0
+    assert loader.truncated_instances >= loader.truncated_samples

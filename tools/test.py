@@ -53,7 +53,7 @@ def main():
     loader = build_dataloader(
         dataset, samples_per_gpu=cfg.data.get("samples_per_gpu", 2),
         shuffle=False, train=False,
-        max_gt=cfg.data.get("max_gt", 128),
+        max_gt=cfg.data.get("max_gt", 256),
         inst_mask_size=cfg.data.get("inst_mask_size", 112))
 
     model = build_detector(cfg.model, cfg.train_cfg, cfg.test_cfg,
