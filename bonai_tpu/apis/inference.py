@@ -12,13 +12,23 @@ import numpy as np
 def init_detector(config, checkpoint=None, compute_dtype="bfloat16"):
     """Build a model + variables from config (+ optional checkpoint).
 
-    Returns (model, variables, cfg).
+    ``config=None`` recovers the config from the provenance meta embedded
+    in the checkpoint (reference checkpoints embed the full config text,
+    ``tools/train.py:140-146``).  Returns (model, variables, cfg).
     """
     import jax
     import jax.numpy as jnp
     from .. import Config
     from ..models import build_detector
 
+    if config is None:
+        from ..engine.checkpoint import load_meta
+        meta = load_meta(checkpoint) if checkpoint else None
+        if not meta or "config" not in meta:
+            raise ValueError(
+                "config=None requires a checkpoint with embedded config "
+                "meta (saved by train_detector)")
+        config = Config.fromstring(meta["config"])
     if isinstance(config, str):
         config = Config.fromfile(config)
     model = build_detector(config.model, config.get("train_cfg"),

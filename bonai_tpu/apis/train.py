@@ -156,6 +156,9 @@ def train_detector(cfg, work_dir, seed=0, resume_from=None, load_from=None,
     ckpt_interval = checkpoint_interval or cfg.get(
         "checkpoint_config", {}).get("interval", 1)
 
+    from ..engine.checkpoint import provenance_meta
+    provenance = provenance_meta(cfg, getattr(dataset, "CLASSES", None))
+
     log_path = osp.join(work_dir, "train_log.jsonl")
     start_step = int(state.step)
     start_epoch = start_step // steps_per_epoch
@@ -191,10 +194,11 @@ def train_detector(cfg, work_dir, seed=0, resume_from=None, load_from=None,
             break
         if (epoch + 1) % ckpt_interval == 0:
             save_checkpoint(work_dir, step, state,
-                            meta=dict(epoch=epoch + 1, step=step))
+                            meta=dict(epoch=epoch + 1, step=step,
+                                      **provenance))
         eval_interval = cfg.get("evaluation", {}).get("interval", 0)
         if validate and eval_interval and (epoch + 1) % eval_interval == 0:
             _run_validation(model, state, cfg, history, val_ds)
     save_checkpoint(work_dir, step, state,
-                    meta=dict(final=True, step=step))
+                    meta=dict(final=True, step=step, **provenance))
     return state, history

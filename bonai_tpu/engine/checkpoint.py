@@ -15,6 +15,29 @@ def _mgr(work_dir):
     return path
 
 
+def provenance_meta(cfg=None, classes=None):
+    """Reference checkpoints embed ``{mmdet_version+git hash, config text,
+    CLASSES}`` (reference ``tools/train.py:140-146``); build the analogous
+    provenance dict for ours."""
+    import subprocess
+    from ..version import __version__
+    try:
+        git = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=osp.dirname(osp.dirname(osp.dirname(osp.abspath(__file__)))),
+            capture_output=True, text=True, timeout=10).stdout.strip()
+    except Exception:
+        git = ""
+    meta = {"bonai_tpu_version": f"{__version__}+{git}" if git
+            else __version__}
+    if cfg is not None:
+        meta["config"] = cfg.pretty_text if hasattr(cfg, "pretty_text") \
+            else str(cfg)
+    if classes is not None:
+        meta["CLASSES"] = list(classes)
+    return meta
+
+
 def save_checkpoint(work_dir, step, state, meta=None):
     """Save {params, opt_state, batch_stats, step} (+ json-able meta)."""
     path = osp.join(_mgr(work_dir), f"step_{int(step)}")
@@ -28,6 +51,16 @@ def save_checkpoint(work_dir, step, state, meta=None):
         with open(osp.join(path, "meta.json"), "w") as f:
             json.dump(meta, f)
     return path
+
+
+def load_meta(path):
+    """Read the provenance meta written beside a checkpoint (or None)."""
+    import json
+    p = osp.join(path, "meta.json")
+    if not osp.isfile(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
 
 
 def latest_checkpoint(work_dir):

@@ -101,3 +101,22 @@ def test_checkpoint_roundtrip(tmp_path):
     assert int(state2.step) == 7
     np.testing.assert_allclose(np.asarray(state2.batch_stats["bn"]),
                                np.ones(2))
+
+
+def test_checkpoint_provenance_meta(tmp_path):
+    """Checkpoints embed {version+git, config text, CLASSES} like reference
+    checkpoints (tools/train.py:140-146) and the config round-trips."""
+    from bonai_tpu import Config
+    from bonai_tpu.engine.checkpoint import provenance_meta, load_meta
+    cfg = Config.fromstring("a = 1\nmodel = dict(type='LOFT')\n")
+    meta = provenance_meta(cfg, classes=("building",))
+    assert meta["bonai_tpu_version"]
+    assert meta["CLASSES"] == ["building"]
+    sch = build_lr_schedule(0.1, 1, [], 1, warmup=None, warmup_iters=0)
+    tx = build_optimizer(dict(type="SGD", lr=0.1, momentum=0.9), sch)
+    state = create_train_state({"w": jnp.zeros(2)}, {}, tx)
+    path = save_checkpoint(str(tmp_path), 1, state, meta=meta)
+    back = load_meta(path)
+    assert back["CLASSES"] == ["building"]
+    cfg2 = Config.fromstring(back["config"])
+    assert cfg2.model["type"] == "LOFT" and cfg2.a == 1

@@ -37,6 +37,11 @@ def main():
     for leaf in jax.tree_util.tree_leaves(published["params"]):
         digest.update(np.asarray(leaf).tobytes()[:65536])
     suffix = digest.hexdigest()[:8]
+    # provenance meta (config text / CLASSES / version) rides along so the
+    # published checkpoint is loadable without its config
+    src_meta = osp.join(args.in_ckpt, "meta.json")
+    if osp.isfile(src_meta):
+        shutil.copy(src_meta, osp.join(tmp, "meta.json"))
     final = f"{args.out_ckpt}-{suffix}"
     shutil.move(tmp, final)
     print(f"published {final}")
