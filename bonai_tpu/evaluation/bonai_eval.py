@@ -3,16 +3,18 @@
 reference: ``tools/bonai/bonai_evaluation.py:20-898`` with the external
 ``bstool`` library (pkl→CSV parsing, polygon IoU via geopandas overlay,
 TP/FP/FN at IoU ≥ 0.5, offset EPE/angle error).  shapely/geopandas are not
-in this image, so polygon IoU is computed by rasterisation over the joint
-bounding box — for polygons that were *extracted from pixel masks* (as both
-the reference's and our predictions are) this matches the geometric overlay
-up to sub-pixel quantisation.
+in this image, so the geometric overlay is reimplemented exactly in
+``evaluation/polygon.py`` (ear-clip triangulation + convex clipping —
+exact for simple polygons, no pixel quantisation); rasterisation remains
+as a fallback/cross-check path.
 
 Pipeline reproduced:
   pkl results → (mask contour → roof polygon, roof − offset → footprint
   polygon, score/min-area filters) → per-image records → optional crop→
-  original-image merge (`__x_y` filename convention) → greedy IoU≥0.5
-  matching → P/R/F1 + offset EPE / angle error.
+  original-image merge (`__x_y` filename convention) → full IoU overlay
+  matrix with the reference's regularised IoU ``inter/(union−inter+1)``
+  → TP = pairs ≥ thr (reference ``get_confusion_matrix_indexes``,
+  ``bonai_evaluation.py:403-501``) → P/R/F1 + offset EPE / angle error.
 """
 
 from __future__ import annotations
@@ -49,7 +51,9 @@ def poly_area(poly):
 
 
 def poly_iou(pa, pb, supersample=1):
-    """Raster IoU of two polygons over their joint bbox."""
+    """Raster IoU of two polygons over their joint bbox (fallback /
+    cross-check path; the F1 stage uses the exact overlay in
+    ``evaluation/polygon.py``)."""
     import cv2
     allpts = np.concatenate([pa, pb], axis=0)
     x0, y0 = np.floor(allpts.min(0)).astype(int)
@@ -138,38 +142,63 @@ def merge_crop_records(records):
     return dict(merged)
 
 
-def polygon_f1(pred_records, gt_records, iou_thr=0.5, key="polygon"):
-    """Greedy IoU≥thr matching → Precision/Recall/F1 over all images.
+def _pair_iou(prep_a, prep_b, raw_a, raw_b, regularize):
+    """Reference-regularised IoU ``inter / (area_a + area_b - inter + 1)``
+    (``bonai_evaluation.py:467``), exact overlay with raster fallback."""
+    from .polygon import intersection_area
+    inter = intersection_area(prep_a, prep_b)
+    if inter is None:  # degenerate polygon: raster fallback
+        iou = poly_iou(raw_a, raw_b)
+        denom_reg = regularize / max(poly_area(raw_a) + poly_area(raw_b), 1.0)
+        return iou / (1.0 + denom_reg * (1.0 + iou))
+    denom = prep_a.area + prep_b.area - inter + regularize
+    return inter / denom if denom > 0 else 0.0
 
-    reference: ``get_confusion_matrix_indexes`` + ``segmentation``
-    (``bonai_evaluation.py:347-501``).
+
+def polygon_f1(pred_records, gt_records, iou_thr=0.5, key="polygon",
+               skip_empty=True, regularize=1.0):
+    """Overlay-matrix IoU≥thr matching → Precision/Recall/F1 over all
+    images, with the reference's exact semantics
+    (``get_confusion_matrix_indexes`` + ``segmentation``,
+    ``bonai_evaluation.py:347-501``):
+
+    - full (pred × gt) IoU matrix from geometric overlay, with the
+      regularised IoU ``inter / (union - inter + 1.0)``;
+    - TP = number of (pred, gt) pairs with IoU ≥ thr (``argwhere``), FN =
+      gts in no pair, FP = preds in no pair — no greedy assignment;
+    - images where either side is empty are skipped entirely, and only
+      images present in the GT set are visited (``skip_empty=True``; pass
+      False for the more conventional every-image accounting).
 
     Returns (metrics dict, matches) where matches maps fname -> list of
     (pred_idx, gt_idx) TP pairs for the offset-error stage.
     """
+    from .polygon import PreparedPolygon
     tp = fp = fn = 0
     matches = {}
-    for fname in sorted(set(pred_records) | set(gt_records)):
+    fnames = sorted(gt_records) if skip_empty \
+        else sorted(set(pred_records) | set(gt_records))
+    for fname in fnames:
         preds = pred_records.get(fname, [])
         gts = gt_records.get(fname, [])
-        order = np.argsort([-p["score"] for p in preds]) if preds else []
-        taken = np.zeros(len(gts), bool)
+        if skip_empty and (not preds or not gts):
+            continue
+        prep_p = [PreparedPolygon(p[key]) for p in preds]
+        prep_g = [PreparedPolygon(g[key]) for g in gts]
         pairs = []
-        for pi in order:
-            ppoly = preds[pi][key]
-            best_iou, best = iou_thr, -1
+        pred_hit = np.zeros(len(preds), bool)
+        gt_hit = np.zeros(len(gts), bool)
+        for pi in range(len(preds)):
             for gi in range(len(gts)):
-                if taken[gi]:
-                    continue
-                iou = poly_iou(ppoly, gts[gi][key])
-                if iou >= best_iou:
-                    best_iou, best = iou, gi
-            if best >= 0:
-                taken[best] = True
-                pairs.append((int(pi), int(best)))
+                iou = _pair_iou(prep_p[pi], prep_g[gi],
+                                preds[pi][key], gts[gi][key], regularize)
+                if iou >= iou_thr:
+                    pairs.append((pi, gi))
+                    pred_hit[pi] = True
+                    gt_hit[gi] = True
         tp += len(pairs)
-        fp += len(preds) - len(pairs)
-        fn += len(gts) - len(pairs)
+        fp += int((~pred_hit).sum())
+        fn += int((~gt_hit).sum())
         matches[fname] = pairs
     precision = tp / max(tp + fp, 1)
     recall = tp / max(tp + fn, 1)
