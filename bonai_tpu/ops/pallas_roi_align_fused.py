@@ -17,10 +17,11 @@ Replaces both halves of the XLA gather formulation (``roi_align.py``):
 
 Semantics match ``multilevel_roi_align`` (reference CUDA counterpart:
 ``mmcv`` RoIAlign via ``single_level_roi_extractor.py:54-93``) with one
-bound: an RoI's x-extent on its assigned FPN level must fit ``window``
-cells (64 by default — aspect ratios ≲5 at the level rule's sqrt(wh)
-∈ [56, 112) px; beyond-window samples contribute zero, exactly like the
-blocked formulation).
+bound: an RoI whose x-extent at its assigned FPN level exceeds
+``window - 4`` cells (40 by default — aspect ratios ≳6.6 at the level
+rule's sqrt(wh) ∈ [56, 112) px) is pushed to a coarser level until it
+fits; the backward gather plan applies the identical push so gradients
+always land on the level the forward read.
 """
 
 from __future__ import annotations
@@ -392,7 +393,7 @@ def _pallas_bwd(g, plan, P, C, oh, ow, sr, window, mmax, interpret,
 def pallas_multilevel_roi_align(features, rois, output_size,
                                 featmap_strides, sampling_ratio=2,
                                 aligned=True, finest_scale=56,
-                                roi_valid=None, flat_pack=None, window=64,
+                                roi_valid=None, flat_pack=None, window=40,
                                 interpret=False, backward="scatter"):
     """Drop-in replacement for ``multilevel_roi_align`` with a Pallas
     strip-DMA forward (same contract; differentiable in the feature
@@ -453,11 +454,15 @@ def pallas_multilevel_roi_align(features, rois, output_size,
 
         def run_bwd(plan, g):
             # RoIAlign is linear in the features: the exact VJP is the
-            # gather formulation's fused 4N-row corner scatter applied to
-            # the mean-pooling-spread cotangent — no forward recompute
+            # gather formulation's fused corner scatter applied to the
+            # mean-pooling-spread cotangent — no forward recompute.
+            # max_extent keeps the bwd level assignment identical to the
+            # fwd _plan's window push (previously the bwd never pushed:
+            # extreme-aspect RoIs scattered grads to a finer level than
+            # the forward had read).
             i00, Wrow, ws = multilevel_gather_plan(
                 rois, consts, featmap_strides, output_size, sr, aligned,
-                finest_scale, roi_valid)
+                finest_scale, roi_valid, max_extent=window - 12)
             R = rois.shape[0]
             gs = jnp.broadcast_to(
                 g[:, :, None, :, None, :].astype(jnp.float32) / (sr * sr),

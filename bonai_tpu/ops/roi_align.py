@@ -118,18 +118,30 @@ def _bilinear_gather_bwd(res, g):
     # regime as the reference's fp16 training; the optimizer state stays
     # f32.  Switching to f32 accumulation doubles the scatter bytes (the
     # step's largest remaining cost) for no observed training benefit.
+    #
+    # x-pair packing: the two x-corners of a sample hit ADJACENT rows
+    # (i00, i00+1), so one scatter row at i00 with a (2C) payload
+    # [w00*g | w01*g] covers both; a post-pass shift-add folds the
+    # second half back one row.  Halves the scatter's row/descriptor
+    # count (TPU scatter is descriptor-bound, ~57 rows/us measured),
+    # trading it for one cheap elementwise pass over the (P, 2C) buffer.
     shape, proto, i00, wrow, w00, w01, w10, w11 = res
     dtype = proto.dtype
     n = int(np.prod(i00.shape))
-    idx = jnp.stack([i00, i00 + 1, i00 + wrow, i00 + wrow + 1],
-                    axis=0).reshape(4 * n)
-    upd = jnp.stack(
-        [g * w00[..., None].astype(g.dtype),
-         g * w01[..., None].astype(g.dtype),
-         g * w10[..., None].astype(g.dtype),
-         g * w11[..., None].astype(g.dtype)],
-        axis=0).reshape(4 * n, g.shape[-1])
-    dflat = jnp.zeros(shape, dtype).at[idx].add(upd.astype(dtype))
+    c = g.shape[-1]
+    # flat 2-D concats (NOT a 5-D stack+reshape — that materialises two
+    # ~10 ms layout-change copies of the 800 MB update buffer)
+    idx = jnp.concatenate([i00.reshape(n), (i00 + wrow).reshape(n)])
+    gf = g.reshape(n, c)
+    top = jnp.concatenate([gf * w00.reshape(n, 1).astype(g.dtype),
+                           gf * w01.reshape(n, 1).astype(g.dtype)], axis=1)
+    bot = jnp.concatenate([gf * w10.reshape(n, 1).astype(g.dtype),
+                           gf * w11.reshape(n, 1).astype(g.dtype)], axis=1)
+    upd = jnp.concatenate([top, bot], axis=0)
+    dpad = jnp.zeros((shape[0], 2 * c), dtype).at[idx].add(upd.astype(dtype))
+    lo = dpad[:, :c]
+    hi = jnp.concatenate([jnp.zeros((1, c), dtype), dpad[:-1, c:]], axis=0)
+    dflat = lo + hi
     return (dflat, None, None, None, None, None, None)
 
 
@@ -285,10 +297,17 @@ def multilevel_roi_align(features, rois, output_size, featmap_strides,
 
 
 def multilevel_gather_plan(rois, consts, featmap_strides, output_size, sr,
-                           aligned, finest_scale, roi_valid):
+                           aligned, finest_scale, roi_valid,
+                           max_extent=None):
     """Corner indices + bilinear weights for the multi-level gather —
     shared by the XLA forward above and by the Pallas forward's
-    scatter-transpose backward (``pallas_roi_align_fused``)."""
+    scatter-transpose backward (``pallas_roi_align_fused``).
+
+    ``max_extent``: when set, RoIs whose x-extent exceeds this many cells
+    at their assigned level are pushed to a coarser level — the SAME push
+    rule as the Pallas strip forward's window bound (its ``_plan``), so
+    forward reads and backward scatters always target the same level.
+    """
     num_levels = len(featmap_strides)
     heights = consts["heights"][:num_levels]
     widths = consts["widths"][:num_levels]
@@ -297,6 +316,12 @@ def multilevel_gather_plan(rois, consts, featmap_strides, output_size, sr,
     boxes = rois[:, 1:5]
     batch_idx = rois[:, 0].astype(jnp.int32)
     lvl = map_roi_levels(boxes, num_levels, finest_scale)
+    if max_extent is not None:
+        w_box = boxes[:, 2] - boxes[:, 0]
+        need = w_box / (float(featmap_strides[0]) * max_extent)
+        lvl_min = jnp.ceil(
+            jnp.log2(jnp.maximum(need, 1e-9))).astype(jnp.int32)
+        lvl = jnp.clip(jnp.maximum(lvl, lvl_min), 0, num_levels - 1)
 
     strides = jnp.asarray(featmap_strides, jnp.float32)
     inv_scale = 1.0 / strides[lvl]                         # (R,)
