@@ -309,6 +309,7 @@ class TwoStageDetector(nn.Module):
                     or d.platform in ("tpu", "axon")):
                 impl = "gather"   # Mosaic kernels only lower on TPU; the
                                   # gather path is semantics-equivalent
+        extra = {}
         if impl == "blocked":
             from ...ops.roi_align_blocked import multilevel_roi_align_blocked
             fn = multilevel_roi_align_blocked
@@ -316,13 +317,14 @@ class TwoStageDetector(nn.Module):
             from ...ops.pallas_roi_align_fused import (
                 pallas_multilevel_roi_align)
             fn = pallas_multilevel_roi_align
+            extra["backward"] = extractor_cfg.get("roi_backward", "rmw")
         else:
             fn = multilevel_roi_align
         return fn(
             feats[:len(strides)], rois, out_size, strides,
             sampling_ratio=sr, roi_valid=roi_valid,
             finest_scale=extractor_cfg.get("finest_scale", 56),
-            flat_pack=flat_pack)
+            flat_pack=flat_pack, **extra)
 
     def _bbox_head_forward(self, feats, rois, roi_valid, flat_pack=None):
         """Shared bbox extraction + head call; Double-Head extracts the

@@ -202,3 +202,31 @@ def test_loader_counts_gt_truncation(bonai_ds):
     # truncates and the loader must expose the count
     assert loader.truncated_samples > 0
     assert loader.truncated_instances >= loader.truncated_samples
+
+
+def test_image_cache_roundtrip(tmp_path):
+    """LoadImageFromFile(cache_dir=...) must return identical pixels on
+    the cold (decode+fill) and warm (cache hit) paths."""
+    from bonai_tpu.datasets.pipelines import build_pipeline
+    json_path, img_dir = make_bonai_dataset(str(tmp_path), num_images=1,
+                                            size=64)
+    ds = build_dataset(dict(type="BONAI", ann_file=json_path,
+                            img_prefix=img_dir,
+                            pipeline=[dict(type="LoadImageFromFile")]))
+    fname = ds.data_infos[0]["filename"]
+    cache = str(tmp_path / "cache")
+    plain = build_pipeline([dict(type="LoadImageFromFile")])
+    cached = build_pipeline([dict(type="LoadImageFromFile",
+                                  cache_dir=cache)])
+
+    def run(pipe):
+        return pipe({"img_info": {"filename": fname},
+                     "img_prefix": img_dir})["img"]
+
+    ref = run(plain)
+    cold = run(cached)
+    warm = run(cached)
+    np.testing.assert_array_equal(ref, cold)
+    np.testing.assert_array_equal(ref, warm)
+    import os
+    assert any(f.endswith(".npy") for f in os.listdir(cache))

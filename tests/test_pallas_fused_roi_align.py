@@ -116,3 +116,65 @@ def test_fused_overlapping_rois_backward():
     for a, b in zip(g_pal, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("seed,n", [(1, 12), (4, 5)])
+def test_rmw_backward_matches_gather(seed, n):
+    """The Pallas read-modify-write backward (backward='rmw') must equal
+    the gather-transpose scatter, including heavy RoI overlap."""
+    if seed == 4:
+        r = np.random.RandomState(4)
+        feats = [jnp.asarray(r.randn(1, 256 // s, 256 // s, 16),
+                             jnp.float32) for s in STRIDES]
+        box = np.array([0.0, 40.0, 40.0, 140.0, 140.0], np.float32)
+        rois = jnp.asarray(np.stack([box, box, box + [0, 1, 1, 1, 1],
+                                     box, box + [0, 2, 0, 2, 0]]))
+        ct = jnp.asarray(r.randn(n, 7, 7, 16), jnp.float32)
+    else:
+        feats, rois = _fixture(seed=seed, n=n)
+        ct = jnp.asarray(np.random.RandomState(2).randn(n, 7, 7, 32),
+                         jnp.float32)
+
+    def f(fn, **kw):
+        def inner(fs):
+            return jnp.sum(fn(fs, rois, 7, STRIDES, sampling_ratio=2,
+                              **kw) * ct)
+        return inner
+
+    g_ref = jax.grad(f(multilevel_roi_align))(feats)
+    g_rmw = jax.grad(f(pallas_multilevel_roi_align, interpret=True,
+                       backward="rmw"))(feats)
+    for a, b, s in zip(g_rmw, g_ref, STRIDES):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4,
+                                   err_msg=f"stride {s}")
+
+
+def test_rmw_backward_narrow_level_partial_overlap():
+    """RoIs pushed to the coarsest level where the level width is smaller
+    than the strip window exercise the symmetric partner-total path."""
+    r = np.random.RandomState(7)
+    # tiny image: P5 level is 8x8 (< window 48) for a 256px image
+    feats = [jnp.asarray(r.randn(1, 256 // s, 256 // s, 16), jnp.float32)
+             for s in STRIDES]
+    # huge rois -> coarsest level (Wl = 8 cells < window)
+    rois = jnp.asarray(np.array([
+        [0, 8, 8, 240, 240],
+        [0, 16, 4, 250, 200],
+        [0, 4, 30, 200, 251],
+    ], np.float32))
+    ct = jnp.asarray(r.randn(3, 7, 7, 16), jnp.float32)
+
+    def f(fn, **kw):
+        def inner(fs):
+            return jnp.sum(fn(fs, rois, 7, STRIDES, sampling_ratio=2,
+                              **kw) * ct)
+        return inner
+
+    g_ref = jax.grad(f(multilevel_roi_align))(feats)
+    g_rmw = jax.grad(f(pallas_multilevel_roi_align, interpret=True,
+                       backward="rmw"))(feats)
+    for a, b, s in zip(g_rmw, g_ref, STRIDES):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4,
+                                   err_msg=f"stride {s}")
