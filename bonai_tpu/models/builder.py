@@ -26,13 +26,15 @@ def _plain(obj):
 def build_detector(cfg, train_cfg=None, test_cfg=None, compute_dtype=None,
                    roi_align_impl=None):
     from .detectors import FasterRCNN, MaskRCNN, LOFT, TwoStageDetector
-    from .detectors.single_stage import ATSS, FCOS, FSAF, RetinaNet
+    from .detectors.single_stage import (ATSS, FCOS, FSAF, FoveaBox,
+                                         FreeAnchor, GFL, RetinaNet)
     from .detectors.cascade_rcnn import CascadeRCNN
     from .detectors.htc import HTC
     registry = {"FasterRCNN": FasterRCNN, "MaskRCNN": MaskRCNN,
                 "LOFT": LOFT, "TwoStageDetector": TwoStageDetector,
                 "RetinaNet": RetinaNet, "FCOS": FCOS, "ATSS": ATSS,
-                "FSAF": FSAF,
+                "FSAF": FSAF, "GFL": GFL, "FOVEA": FoveaBox,
+                "FoveaBox": FoveaBox, "FreeAnchor": FreeAnchor,
                 "CascadeRCNN": CascadeRCNN, "HTC": HTC}
     registry.update(DETECTORS.module_dict)
     cfg = _plain(dict(cfg))
@@ -55,6 +57,7 @@ def build_detector(cfg, train_cfg=None, test_cfg=None, compute_dtype=None,
     if compute_dtype is not None:
         kwargs["compute_dtype"] = compute_dtype
     impl = roi_align_impl or cfg.get("roi_align_impl")
-    if impl is not None and det_type not in ("RetinaNet", "FCOS", "ATSS", "FSAF"):
+    if impl is not None and det_type not in ("RetinaNet", "FCOS", "ATSS", "FSAF", "GFL",
+                                     "FoveaBox", "FreeAnchor"):
         kwargs["roi_align_impl"] = impl
     return registry[det_type](**kwargs)

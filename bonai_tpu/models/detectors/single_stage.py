@@ -374,3 +374,294 @@ class FSAF(nn.Module):
                     scale_factor)[:, None, None],
                 "det_scores": det_scores, "det_labels": det_labels,
                 "det_valid": det_valid}
+
+
+class GFL(nn.Module):
+    """GFL detector (reference ``mmdet/models/detectors/gfl.py`` —
+    SingleStageDetector with GFLHead: QFL/DFL + distributed boxes)."""
+    backbone: Any = None
+    neck: Any = None
+    bbox_head: Any = None
+    train_cfg: Any = None
+    test_cfg: Any = None
+    pretrained: Optional[str] = None
+    compute_dtype: str = "float32"
+
+    def setup(self):
+        from ..dense_heads.gfl_head import GFLHead
+        dt = _dtype(self.compute_dtype)
+        bk = dict(self.backbone)
+        bk.pop("type", None)
+        self.backbone_m = ResNet(
+            depth=bk.get("depth", 50),
+            base_channels=bk.get("base_channels", 64),
+            out_indices=tuple(bk.get("out_indices", (0, 1, 2, 3))),
+            frozen_stages=bk.get("frozen_stages", -1), dtype=dt,
+            name="backbone")
+        nk = dict(self.neck)
+        nk.pop("type", None)
+        self.neck_m = FPN(
+            in_channels=tuple(nk.get("in_channels", (256, 512, 1024, 2048))),
+            out_channels=nk.get("out_channels", 256),
+            num_outs=nk.get("num_outs", 5),
+            start_level=nk.get("start_level", 1),
+            add_extra_convs=bool(nk.get("add_extra_convs", False)),
+            dtype=dt, name="neck")
+        bh = dict(self.bbox_head)
+        ag = dict(bh.get("anchor_generator", dict(
+            ratios=[1.0], octave_base_scale=8, scales_per_octave=1,
+            strides=[8, 16, 32, 64, 128])))
+        ag.pop("type", None)
+        self.anchor_generator = AnchorGenerator(**ag)
+        self.strides = [s[0] if isinstance(s, (tuple, list)) else s
+                        for s in self.anchor_generator.strides]
+        self.num_classes = bh.get("num_classes", 80)
+        self.reg_max = bh.get("reg_max", 16)
+        self.head_m = GFLHead(
+            num_classes=self.num_classes,
+            in_channels=bh.get("in_channels", 256),
+            feat_channels=bh.get("feat_channels", 256),
+            stacked_convs=bh.get("stacked_convs", 4),
+            reg_max=self.reg_max,
+            num_levels=nk.get("num_outs", 5),
+            dtype=dt, name="bbox_head")
+        self.atss_topk = dict(self.train_cfg or {}).get(
+            "assigner", {}).get("topk", 9)
+        self.qfl_beta = dict(bh.get("loss_cls", {})).get("beta", 2.0)
+        self.loss_cls_weight = dict(bh.get("loss_cls", {})).get(
+            "loss_weight", 1.0)
+        self.loss_bbox_weight = dict(bh.get("loss_bbox", {})).get(
+            "loss_weight", 2.0)
+        self.loss_dfl_weight = dict(bh.get("loss_dfl", {})).get(
+            "loss_weight", 0.25)
+
+    def extract_feat(self, img):
+        return self.neck_m(self.backbone_m(img))
+
+    def __call__(self, img):
+        return self.head_m(self.extract_feat(img))
+
+    def _anchors(self, feats):
+        sizes = [(int(f.shape[1]), int(f.shape[2])) for f in feats]
+        return [jnp.asarray(a)
+                for a in self.anchor_generator.grid_anchors(sizes)]
+
+    def forward_train(self, batch):
+        from ..dense_heads.gfl_head import gfl_loss
+        feats = self.extract_feat(batch["image"])
+        cls_scores, bbox_preds = self.head_m(feats)
+        anchors = self._anchors(feats)
+        nla = [int(a.shape[0]) for a in anchors]
+        stride_flat = jnp.concatenate(
+            [jnp.full((n,), float(s)) for n, s in zip(nla, self.strides)])
+        return gfl_loss(cls_scores, bbox_preds,
+                        jnp.concatenate(anchors, 0), stride_flat, nla,
+                        batch["gt_bboxes"], batch["gt_valid"],
+                        batch["gt_labels"], self.num_classes,
+                        reg_max=self.reg_max, topk=self.atss_topk,
+                        qfl_beta=self.qfl_beta,
+                        loss_cls_weight=self.loss_cls_weight,
+                        loss_bbox_weight=self.loss_bbox_weight,
+                        loss_dfl_weight=self.loss_dfl_weight)
+
+    def simple_test(self, img, img_shape, scale_factor):
+        from ..dense_heads.gfl_head import gfl_bboxes_single
+        feats = self.extract_feat(img)
+        cls_scores, bbox_preds = self.head_m(feats)
+        anchors = self._anchors(feats)
+        cfg = dict(self.test_cfg)
+        det_boxes, det_scores, det_labels, det_valid = jax.vmap(
+            lambda cs, bp, ishape: gfl_bboxes_single(
+                cs, bp, anchors, self.strides, ishape, self.num_classes,
+                cfg, reg_max=self.reg_max)
+        )([s for s in cls_scores], [b for b in bbox_preds], img_shape)
+        return {"det_bboxes": det_boxes / jnp.asarray(
+                    scale_factor)[:, None, None],
+                "det_scores": det_scores, "det_labels": det_labels,
+                "det_valid": det_valid}
+
+
+class FoveaBox(nn.Module):
+    """FoveaBox detector (reference ``mmdet/models/detectors/fovea.py`` —
+    SingleStageDetector with FoveaHead)."""
+    backbone: Any = None
+    neck: Any = None
+    bbox_head: Any = None
+    train_cfg: Any = None
+    test_cfg: Any = None
+    pretrained: Optional[str] = None
+    compute_dtype: str = "float32"
+
+    def setup(self):
+        from ..dense_heads.fovea_head import FoveaHead
+        dt = _dtype(self.compute_dtype)
+        bk = dict(self.backbone)
+        bk.pop("type", None)
+        self.backbone_m = ResNet(
+            depth=bk.get("depth", 50),
+            base_channels=bk.get("base_channels", 64),
+            out_indices=tuple(bk.get("out_indices", (0, 1, 2, 3))),
+            frozen_stages=bk.get("frozen_stages", -1), dtype=dt,
+            name="backbone")
+        nk = dict(self.neck)
+        nk.pop("type", None)
+        self.neck_m = FPN(
+            in_channels=tuple(nk.get("in_channels", (256, 512, 1024, 2048))),
+            out_channels=nk.get("out_channels", 256),
+            num_outs=nk.get("num_outs", 5),
+            start_level=nk.get("start_level", 1),
+            add_extra_convs=bool(nk.get("add_extra_convs", False)),
+            dtype=dt, name="neck")
+        bh = dict(self.bbox_head)
+        self.num_classes = bh.get("num_classes", 80)
+        self.strides = tuple(bh.get("strides", (8, 16, 32, 64, 128)))
+        self.base_edge_list = tuple(bh.get("base_edge_list",
+                                           (16, 32, 64, 128, 256)))
+        self.scale_ranges = tuple(tuple(sr) for sr in bh.get(
+            "scale_ranges", ((8, 32), (16, 64), (32, 128), (64, 256),
+                             (128, 512))))
+        self.sigma = bh.get("sigma", 0.4)
+        self.head_m = FoveaHead(
+            num_classes=self.num_classes,
+            in_channels=bh.get("in_channels", 256),
+            feat_channels=bh.get("feat_channels", 256),
+            stacked_convs=bh.get("stacked_convs", 4),
+            dtype=dt, name="bbox_head")
+        lc = dict(bh.get("loss_cls", {}))
+        self.focal_gamma = lc.get("gamma", 2.0)
+        self.focal_alpha = lc.get("alpha", 0.25)
+        lb = dict(bh.get("loss_bbox", {}))
+        self.bbox_beta = lb.get("beta", 0.11)
+        self.loss_bbox_weight = lb.get("loss_weight", 1.0)
+
+    def extract_feat(self, img):
+        return self.neck_m(self.backbone_m(img))
+
+    def __call__(self, img):
+        return self.head_m(self.extract_feat(img))
+
+    def forward_train(self, batch):
+        from ..dense_heads.fovea_head import fovea_loss
+        feats = self.extract_feat(batch["image"])
+        cls_scores, bbox_preds = self.head_m(feats)
+        return fovea_loss(cls_scores, bbox_preds, batch["gt_bboxes"],
+                          batch["gt_valid"], batch["gt_labels"],
+                          self.num_classes, strides=self.strides,
+                          base_edge_list=self.base_edge_list,
+                          scale_ranges=self.scale_ranges, sigma=self.sigma,
+                          gamma=self.focal_gamma, alpha=self.focal_alpha,
+                          bbox_beta=self.bbox_beta,
+                          loss_bbox_weight=self.loss_bbox_weight)
+
+    def simple_test(self, img, img_shape, scale_factor):
+        from ..dense_heads.fovea_head import fovea_bboxes_single
+        feats = self.extract_feat(img)
+        cls_scores, bbox_preds = self.head_m(feats)
+        cfg = dict(self.test_cfg)
+        det_boxes, det_scores, det_labels, det_valid = jax.vmap(
+            lambda cs, bp, ishape: fovea_bboxes_single(
+                cs, bp, ishape, self.num_classes, cfg,
+                strides=self.strides, base_edge_list=self.base_edge_list)
+        )([s for s in cls_scores], [b for b in bbox_preds], img_shape)
+        return {"det_bboxes": det_boxes / jnp.asarray(
+                    scale_factor)[:, None, None],
+                "det_scores": det_scores, "det_labels": det_labels,
+                "det_valid": det_valid}
+
+
+class FreeAnchor(nn.Module):
+    """FreeAnchor detector (reference
+    ``mmdet/models/detectors/retinanet.py`` with
+    ``FreeAnchorRetinaHead`` — same head/anchors as RetinaNet, the
+    learning-to-match loss replaces the assignment)."""
+    backbone: Any = None
+    neck: Any = None
+    bbox_head: Any = None
+    train_cfg: Any = None
+    test_cfg: Any = None
+    pretrained: Optional[str] = None
+    compute_dtype: str = "float32"
+
+    def setup(self):
+        dt = _dtype(self.compute_dtype)
+        bk = dict(self.backbone)
+        bk.pop("type", None)
+        self.backbone_m = ResNet(
+            depth=bk.get("depth", 50),
+            base_channels=bk.get("base_channels", 64),
+            out_indices=tuple(bk.get("out_indices", (0, 1, 2, 3))),
+            frozen_stages=bk.get("frozen_stages", -1), dtype=dt,
+            name="backbone")
+        nk = dict(self.neck)
+        nk.pop("type", None)
+        self.neck_m = FPN(
+            in_channels=tuple(nk.get("in_channels", (256, 512, 1024, 2048))),
+            out_channels=nk.get("out_channels", 256),
+            num_outs=nk.get("num_outs", 5),
+            start_level=nk.get("start_level", 1),
+            add_extra_convs=bool(nk.get("add_extra_convs", False)),
+            dtype=dt, name="neck")
+        bh = dict(self.bbox_head)
+        ag = dict(bh.get("anchor_generator", dict(
+            octave_base_scale=4, scales_per_octave=3,
+            ratios=[0.5, 1.0, 2.0], strides=[8, 16, 32, 64, 128])))
+        ag.pop("type", None)
+        self.anchor_generator = AnchorGenerator(**ag)
+        self.num_classes = bh.get("num_classes", 80)
+        self.head_m = RetinaHead(
+            num_classes=self.num_classes,
+            in_channels=bh.get("in_channels", 256),
+            feat_channels=bh.get("feat_channels", 256),
+            stacked_convs=bh.get("stacked_convs", 4),
+            num_anchors=self.anchor_generator.num_base_anchors[0],
+            dtype=dt, name="bbox_head")
+        bc = dict(bh.get("bbox_coder", {}))
+        self.coder_means = tuple(bc.get("target_means", (0.,) * 4))
+        self.coder_stds = tuple(bc.get("target_stds", (1.0,) * 4))
+        self.pre_anchor_topk = bh.get("pre_anchor_topk", 50)
+        self.bbox_thr = bh.get("bbox_thr", 0.6)
+        self.fa_gamma = bh.get("gamma", 2.0)
+        self.fa_alpha = bh.get("alpha", 0.5)
+        lb = dict(bh.get("loss_bbox", {}))
+        self.bbox_beta = lb.get("beta", 0.11)
+        self.loss_bbox_weight = lb.get("loss_weight", 0.75)
+
+    def extract_feat(self, img):
+        return self.neck_m(self.backbone_m(img))
+
+    def __call__(self, img):
+        return self.head_m(self.extract_feat(img))
+
+    def _anchors(self, feats):
+        sizes = [(int(f.shape[1]), int(f.shape[2])) for f in feats]
+        return [jnp.asarray(a)
+                for a in self.anchor_generator.grid_anchors(sizes)]
+
+    def forward_train(self, batch):
+        from ..dense_heads.free_anchor_head import free_anchor_loss
+        feats = self.extract_feat(batch["image"])
+        cls_scores, bbox_preds = self.head_m(feats)
+        anchors_flat = jnp.concatenate(self._anchors(feats), axis=0)
+        return free_anchor_loss(
+            cls_scores, bbox_preds, anchors_flat, batch["gt_bboxes"],
+            batch["gt_valid"], batch["gt_labels"], self.num_classes,
+            target_means=self.coder_means, target_stds=self.coder_stds,
+            pre_anchor_topk=self.pre_anchor_topk, bbox_thr=self.bbox_thr,
+            gamma=self.fa_gamma, alpha=self.fa_alpha,
+            bbox_beta=self.bbox_beta,
+            loss_bbox_weight=self.loss_bbox_weight)
+
+    def simple_test(self, img, img_shape, scale_factor):
+        feats = self.extract_feat(img)
+        cls_scores, bbox_preds = self.head_m(feats)
+        anchors = self._anchors(feats)
+        cfg = dict(self.test_cfg)
+        cfg.setdefault("bbox_std", self.coder_stds)
+        det_boxes, det_scores, det_labels, det_valid = jax.vmap(
+            lambda cs, bp, ishape: retina_bboxes_single(
+                cs, bp, anchors, ishape, self.num_classes, cfg)
+        )([s for s in cls_scores], [b for b in bbox_preds], img_shape)
+        return {"det_bboxes": det_boxes / jnp.asarray(
+                    scale_factor)[:, None, None],
+                "det_scores": det_scores, "det_labels": det_labels,
+                "det_valid": det_valid}
