@@ -118,6 +118,65 @@ class AnchorGenerator:
 
 
 @ANCHOR_GENERATORS.register_module()
+class SSDAnchorGenerator(AnchorGenerator):
+    """SSD anchors: per-level ``min_size``/``max_size`` pairs derived
+    from ``basesize_ratio_range`` (reference:
+    ``mmdet/core/anchor/anchor_generator.py:351-455``).  Base anchors
+    per level are ``[min@1:1, sqrt(min*max)@1:1, min@1/r, min@r, ...]``
+    (the reference's scale-minor flatten + index reorder), so levels can
+    carry different anchor counts (4 or 6)."""
+
+    def __init__(self, strides, ratios, basesize_ratio_range,
+                 input_size=300, scale_major=False):
+        self.strides = [(s, s) if isinstance(s, (int, float)) else tuple(s)
+                        for s in strides]
+        self.input_size = int(input_size)
+        self.centers = [(s[0] / 2.0, s[1] / 2.0) for s in self.strides]
+        self.basesize_ratio_range = tuple(basesize_ratio_range)
+        min_ratio = int(self.basesize_ratio_range[0] * 100)
+        max_ratio = int(self.basesize_ratio_range[1] * 100)
+        step = int(np.floor(max_ratio - min_ratio) / (len(strides) - 2))
+        min_sizes, max_sizes = [], []
+        for ratio in range(min_ratio, max_ratio + 1, step):
+            min_sizes.append(int(self.input_size * ratio / 100))
+            max_sizes.append(int(self.input_size * (ratio + step) / 100))
+        # the first (highest-resolution) level uses a fixed smaller pair
+        # keyed on (input_size, range start) — reference :392-414
+        head = {(300, 15): (7, 15), (300, 20): (10, 20),
+                (512, 10): (4, 10), (512, 15): (7, 15)}.get(
+                    (self.input_size, min_ratio),
+                    (min_ratio // 2, min_ratio))   # generic fallback
+        min_sizes.insert(0, int(self.input_size * head[0] / 100))
+        max_sizes.insert(0, int(self.input_size * head[1] / 100))
+        min_sizes = min_sizes[:len(strides)]
+        max_sizes = max_sizes[:len(strides)]
+        self.level_scales = [np.asarray(
+            [1.0, np.sqrt(mx / mn)], np.float32)
+            for mn, mx in zip(min_sizes, max_sizes)]
+        self.level_ratios = []
+        for r in ratios:
+            ar = [1.0]
+            for x in r:
+                ar += [1.0 / x, float(x)]
+            self.level_ratios.append(np.asarray(ar, np.float32))
+        self.base_sizes = min_sizes
+        self.scale_major = scale_major
+        self.center_offset = 0.0
+        self.base_anchors = self.gen_base_anchors()
+
+    def gen_base_anchors(self):
+        out = []
+        for i, base_size in enumerate(self.base_sizes):
+            a = self._single_level_base_anchors(
+                base_size, self.level_scales[i], self.level_ratios[i],
+                self.centers[i])
+            idx = list(range(len(self.level_ratios[i])))
+            idx.insert(1, len(idx))
+            out.append(a[np.asarray(idx)])
+        return out
+
+
+@ANCHOR_GENERATORS.register_module()
 class RAnchorGenerator(AnchorGenerator):
     """Rotated anchors — adds an ``angles`` axis; anchors become
     ``(xc, yc, w, h, θ)`` (reference:

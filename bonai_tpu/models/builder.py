@@ -26,8 +26,10 @@ def _plain(obj):
 def build_detector(cfg, train_cfg=None, test_cfg=None, compute_dtype=None,
                    roi_align_impl=None):
     from .detectors import FasterRCNN, MaskRCNN, LOFT, TwoStageDetector
+    from .detectors.two_stage import DynamicRCNN
     from .detectors.single_stage import (ATSS, FCOS, FSAF, FoveaBox,
-                                         FreeAnchor, GFL, RetinaNet)
+                                         FreeAnchor, GFL, RepPointsDetector,
+                                         RetinaNet, SSD)
     from .detectors.cascade_rcnn import CascadeRCNN
     from .detectors.htc import HTC
     registry = {"FasterRCNN": FasterRCNN, "MaskRCNN": MaskRCNN,
@@ -35,6 +37,8 @@ def build_detector(cfg, train_cfg=None, test_cfg=None, compute_dtype=None,
                 "RetinaNet": RetinaNet, "FCOS": FCOS, "ATSS": ATSS,
                 "FSAF": FSAF, "GFL": GFL, "FOVEA": FoveaBox,
                 "FoveaBox": FoveaBox, "FreeAnchor": FreeAnchor,
+                "RepPointsDetector": RepPointsDetector, "SSD": SSD,
+                "DynamicRCNN": DynamicRCNN,
                 "CascadeRCNN": CascadeRCNN, "HTC": HTC}
     registry.update(DETECTORS.module_dict)
     cfg = _plain(dict(cfg))
@@ -58,6 +62,7 @@ def build_detector(cfg, train_cfg=None, test_cfg=None, compute_dtype=None,
         kwargs["compute_dtype"] = compute_dtype
     impl = roi_align_impl or cfg.get("roi_align_impl")
     if impl is not None and det_type not in ("RetinaNet", "FCOS", "ATSS", "FSAF", "GFL",
-                                     "FoveaBox", "FreeAnchor"):
+                                     "FoveaBox", "FreeAnchor",
+                                     "RepPointsDetector", "SSD"):
         kwargs["roi_align_impl"] = impl
     return registry[det_type](**kwargs)

@@ -11,6 +11,7 @@ from typing import Any, Optional
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ...core.anchors import AnchorGenerator
 from ..backbones.resnet import ResNet
@@ -661,6 +662,211 @@ class FreeAnchor(nn.Module):
             lambda cs, bp, ishape: retina_bboxes_single(
                 cs, bp, anchors, ishape, self.num_classes, cfg)
         )([s for s in cls_scores], [b for b in bbox_preds], img_shape)
+        return {"det_bboxes": det_boxes / jnp.asarray(
+                    scale_factor)[:, None, None],
+                "det_scores": det_scores, "det_labels": det_labels,
+                "det_valid": det_valid}
+
+
+class SSD(nn.Module):
+    """SSD300/512 (reference ``mmdet/models/detectors/ssd.py`` — the
+    only SingleStageDetector whose backbone feeds the head directly, no
+    neck)."""
+    backbone: Any = None
+    neck: Any = None                         # unused (SSD has no neck)
+    bbox_head: Any = None
+    train_cfg: Any = None
+    test_cfg: Any = None
+    pretrained: Optional[str] = None
+    compute_dtype: str = "float32"
+
+    def setup(self):
+        from ..backbones.ssd_vgg import SSDVGG
+        from ...core.anchors import SSDAnchorGenerator
+        dt = _dtype(self.compute_dtype)
+        bk = dict(self.backbone or {})
+        bk.pop("type", None)
+        self.input_size = int(bk.get("input_size", 300))
+        self.backbone_m = SSDVGG(
+            input_size=self.input_size, depth=bk.get("depth", 16),
+            l2_norm_scale=bk.get("l2_norm_scale", 20.0), dtype=dt,
+            name="backbone")
+        bh = dict(self.bbox_head or {})
+        self.num_classes = bh.get("num_classes", 80)
+        ag = dict(bh.get("anchor_generator", dict(
+            strides=[8, 16, 32, 64, 100, 300],
+            ratios=[[2], [2, 3], [2, 3], [2, 3], [2], [2]],
+            basesize_ratio_range=(0.15, 0.9), input_size=300)))
+        ag.pop("type", None)
+        ag.setdefault("input_size", self.input_size)
+        self.anchor_generator = SSDAnchorGenerator(**ag)
+        from ..dense_heads.ssd_head import SSDHead
+        self.head_m = SSDHead(
+            num_classes=self.num_classes,
+            in_channels=tuple(bh.get(
+                "in_channels", (512, 1024, 512, 256, 256, 256))),
+            num_anchors=tuple(self.anchor_generator.num_base_anchors),
+            dtype=dt, name="bbox_head")
+        bc = dict(bh.get("bbox_coder", {}))
+        self.target_stds = tuple(bc.get("target_stds",
+                                        (0.1, 0.1, 0.2, 0.2)))
+
+    def extract_feat(self, img):
+        return self.backbone_m(img)
+
+    def __call__(self, img):
+        return self.head_m(self.extract_feat(img))
+
+    def _anchors(self, feats):
+        sizes = [(int(f.shape[1]), int(f.shape[2])) for f in feats]
+        return [jnp.asarray(a)
+                for a in self.anchor_generator.grid_anchors(sizes)]
+
+    def forward_train(self, batch):
+        from ..dense_heads.ssd_head import ssd_loss
+        feats = self.extract_feat(batch["image"])
+        cls_scores, bbox_preds = self.head_m(feats)
+        anchors_flat = jnp.concatenate(self._anchors(feats), axis=0)
+        return ssd_loss(cls_scores, bbox_preds, anchors_flat,
+                        batch["gt_bboxes"], batch["gt_valid"],
+                        batch["gt_labels"], self.num_classes,
+                        dict(self.train_cfg or {}),
+                        target_stds=self.target_stds)
+
+    def simple_test(self, img, img_shape, scale_factor):
+        from ..dense_heads.ssd_head import ssd_bboxes_single
+        feats = self.extract_feat(img)
+        cls_scores, bbox_preds = self.head_m(feats)
+        anchors = self._anchors(feats)
+        cfg = dict(self.test_cfg or {})
+        det_boxes, det_scores, det_labels, det_valid = jax.vmap(
+            lambda cs, bp, ishape: ssd_bboxes_single(
+                cs, bp, anchors, ishape, self.num_classes, cfg,
+                target_stds=self.target_stds)
+        )([s for s in cls_scores], [b for b in bbox_preds], img_shape)
+        return {"det_bboxes": det_boxes / jnp.asarray(
+                    scale_factor)[:, None, None],
+                "det_scores": det_scores, "det_labels": det_labels,
+                "det_valid": det_valid}
+
+
+class RepPointsDetector(nn.Module):
+    """RepPoints detector (reference
+    ``mmdet/models/detectors/reppoints_detector.py``)."""
+    backbone: Any = None
+    neck: Any = None
+    bbox_head: Any = None
+    train_cfg: Any = None
+    test_cfg: Any = None
+    pretrained: Optional[str] = None
+    compute_dtype: str = "float32"
+
+    def setup(self):
+        from ..dense_heads.reppoints_head import RepPointsHead
+        dt = _dtype(self.compute_dtype)
+        bk = dict(self.backbone)
+        bk.pop("type", None)
+        self.backbone_m = ResNet(
+            depth=bk.get("depth", 50),
+            base_channels=bk.get("base_channels", 64),
+            out_indices=tuple(bk.get("out_indices", (0, 1, 2, 3))),
+            frozen_stages=bk.get("frozen_stages", -1), dtype=dt,
+            name="backbone")
+        nk = dict(self.neck)
+        nk.pop("type", None)
+        self.neck_m = FPN(
+            in_channels=tuple(nk.get("in_channels", (256, 512, 1024, 2048))),
+            out_channels=nk.get("out_channels", 256),
+            num_outs=nk.get("num_outs", 5),
+            start_level=nk.get("start_level", 1),
+            add_extra_convs=bool(nk.get("add_extra_convs", False)),
+            dtype=dt, name="neck")
+        bh = dict(self.bbox_head)
+        self.num_classes = bh.get("num_classes", 80)
+        self.num_points = bh.get("num_points", 9)
+        self.strides = tuple(bh.get("point_strides", (8, 16, 32, 64, 128)))
+        self.point_base_scale = bh.get("point_base_scale", 4)
+        self.head_m = RepPointsHead(
+            num_classes=self.num_classes,
+            in_channels=bh.get("in_channels", 256),
+            feat_channels=bh.get("feat_channels", 256),
+            point_feat_channels=bh.get("point_feat_channels", 256),
+            stacked_convs=bh.get("stacked_convs", 3),
+            num_points=self.num_points,
+            gradient_mul=bh.get("gradient_mul", 0.1),
+            num_levels=nk.get("num_outs", 5),
+            dtype=dt, name="bbox_head")
+        tc = dict(self.train_cfg or {})
+        self.init_assign_scale = dict(tc.get("init", {}).get(
+            "assigner", {})).get("scale", 4)
+        self.init_pos_num = dict(tc.get("init", {}).get(
+            "assigner", {})).get("pos_num", 1)
+        rf = dict(tc.get("refine", {}).get("assigner", {}))
+        self.refine_pos_iou = rf.get("pos_iou_thr", 0.5)
+        self.refine_neg_iou = rf.get("neg_iou_thr", 0.4)
+        lc = dict(bh.get("loss_cls", {}))
+        self.focal_gamma = lc.get("gamma", 2.0)
+        self.focal_alpha = lc.get("alpha", 0.25)
+        self.loss_init_weight = dict(bh.get("loss_bbox_init", {})).get(
+            "loss_weight", 0.5)
+        self.loss_refine_weight = dict(bh.get("loss_bbox_refine", {})).get(
+            "loss_weight", 1.0)
+
+    def extract_feat(self, img):
+        return self.neck_m(self.backbone_m(img))
+
+    def __call__(self, img):
+        return self.head_m(self.extract_feat(img))
+
+    def _centers(self, feats):
+        """Per-level point coordinates ((x, y) = cell index * stride,
+        reference ``PointGenerator.grid_points``)."""
+        cs = []
+        for f, st in zip(feats, self.strides):
+            h, w = int(f.shape[1]), int(f.shape[2])
+            ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32) * st,
+                                  jnp.arange(w, dtype=jnp.float32) * st,
+                                  indexing="ij")
+            cs.append(jnp.stack([xs.reshape(-1), ys.reshape(-1)], -1))
+        return cs
+
+    def forward_train(self, batch):
+        from ..dense_heads.reppoints_head import reppoints_loss
+        feats = self.extract_feat(batch["image"])
+        cls_scores, pts_init, pts_refine, mt = self.head_m(feats)
+        centers = self._centers(feats)
+        centers_flat = jnp.concatenate(centers, 0)
+        strides_flat = jnp.concatenate(
+            [jnp.full((c.shape[0],), float(s))
+             for c, s in zip(centers, self.strides)])
+        lvl_flat = jnp.concatenate(
+            [jnp.full((c.shape[0],), int(np.log2(s)), jnp.int32)
+             for c, s in zip(centers, self.strides)])
+        return reppoints_loss(
+            cls_scores, pts_init, pts_refine, mt, centers_flat,
+            strides_flat, lvl_flat, batch["gt_bboxes"], batch["gt_valid"],
+            batch["gt_labels"], self.num_classes,
+            num_points=self.num_points,
+            point_base_scale=self.point_base_scale,
+            gamma=self.focal_gamma, alpha=self.focal_alpha,
+            init_assign_scale=self.init_assign_scale,
+            init_pos_num=self.init_pos_num,
+            refine_pos_iou=self.refine_pos_iou,
+            refine_neg_iou=self.refine_neg_iou,
+            loss_init_weight=self.loss_init_weight,
+            loss_refine_weight=self.loss_refine_weight)
+
+    def simple_test(self, img, img_shape, scale_factor):
+        from ..dense_heads.reppoints_head import reppoints_bboxes_single
+        feats = self.extract_feat(img)
+        cls_scores, pts_init, pts_refine, mt = self.head_m(feats)
+        centers = self._centers(feats)
+        cfg = dict(self.test_cfg)
+        det_boxes, det_scores, det_labels, det_valid = jax.vmap(
+            lambda cs, pr, ishape: reppoints_bboxes_single(
+                cs, pr, mt, centers, self.strides, ishape,
+                self.num_classes, cfg, num_points=self.num_points)
+        )([s for s in cls_scores], [p for p in pts_refine], img_shape)
         return {"det_bboxes": det_boxes / jnp.asarray(
                     scale_factor)[:, None, None],
                 "det_scores": det_scores, "det_labels": det_labels,

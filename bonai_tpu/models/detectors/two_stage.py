@@ -67,7 +67,8 @@ def assign_rcnn(proposals, proposal_valid, gt_bboxes, gt_valid,
 
 
 def assign_and_sample_rcnn(rng, proposals, proposal_valid, gt_bboxes,
-                           gt_valid, assigner_cfg, sampler_cfg):
+                           gt_valid, assigner_cfg, sampler_cfg,
+                           dyn_iou_topk=None):
     """Single-image assign + sample (reference
     ``standard_roi_head.py:70-104`` + ``base_sampler.py`` sample()).
     Dispatches on the sampler type (Random / IoUBalancedNeg /
@@ -77,6 +78,16 @@ def assign_and_sample_rcnn(rng, proposals, proposal_valid, gt_bboxes,
     """
     cand, cand_valid, assigned, max_ov = assign_rcnn(
         proposals, proposal_valid, gt_bboxes, gt_valid, assigner_cfg)
+    stat_kth_iou = None
+    if dyn_iou_topk is not None:
+        # Dynamic R-CNN IoU statistic (reference
+        # ``dynamic_roi_head.py:73-80``): the iou_topk-th largest
+        # proposal IoU of this image (gt self-matches excluded — the
+        # reference records it before gts join the pool)
+        n_gt = gt_bboxes.shape[0]
+        prop_ov = jnp.where(proposal_valid, max_ov[n_gt:], 0.0)
+        k = min(int(dyn_iou_topk), prop_ov.shape[0])
+        stat_kth_iou = jax.lax.top_k(prop_ov, k)[0][-1]
     num = sampler_cfg.get("num", 512)
     pos_fraction = sampler_cfg.get("pos_fraction", 0.25)
     neg_pos_ub = sampler_cfg.get("neg_pos_ub", -1)
@@ -97,6 +108,8 @@ def assign_and_sample_rcnn(rng, proposals, proposal_valid, gt_bboxes,
         res = random_sample(rng, assigned, num=num,
                             pos_fraction=pos_fraction,
                             neg_pos_ub=neg_pos_ub)
+    if stat_kth_iou is not None:
+        res["stat_kth_iou"] = stat_kth_iou
     sampled_boxes = cand[res["inds"]]
     return res, sampled_boxes
 
@@ -474,6 +487,20 @@ class TwoStageDetector(nn.Module):
         num = sampler_cfg.get("num", 512)
         num_pos = int(num * sampler_cfg.get("pos_fraction", 0.25))
 
+        # Dynamic R-CNN (reference ``dynamic_roi_head.py``): the host
+        # loop feeds the current IoU threshold / SmoothL1 beta as traced
+        # scalars and reads back the batch statistics from the metrics
+        dyn_cfg = rcnn.get("dynamic_rcnn")
+        assigner_cfg = dict(rcnn["assigner"])
+        dyn_iou_topk = None
+        if dyn_cfg is not None:
+            thr = batch.get("dyn_iou_thr")
+            if thr is not None:
+                assigner_cfg["pos_iou_thr"] = thr
+                assigner_cfg["neg_iou_thr"] = thr
+                assigner_cfg["min_pos_iou"] = thr
+            dyn_iou_topk = int(dyn_cfg.get("iou_topk", 75))
+
         flat_pack = self._flat_pack(feats)
         rngs = jax.random.split(rng, b)
         if sampler_cfg.get("type", "RandomSampler") in ("OHEMSampler",
@@ -484,7 +511,8 @@ class TwoStageDetector(nn.Module):
         else:
             res, sampled_boxes = jax.vmap(
                 lambda r, p, pv, gb, gv: assign_and_sample_rcnn(
-                    r, p, pv, gb, gv, dict(rcnn["assigner"]), sampler_cfg)
+                    r, p, pv, gb, gv, assigner_cfg, sampler_cfg,
+                    dyn_iou_topk=dyn_iou_topk)
             )(rngs, proposals, prop_valid, gt_bboxes, gt_valid)
         # res fields: (B, num); sampled_boxes: (B, num, 4)
 
@@ -557,9 +585,28 @@ class TwoStageDetector(nn.Module):
         avg_cls = jnp.maximum(jnp.sum(label_w_f > 0), 1.0)
         loss_cls = cross_entropy(cls_score, labels_f, label_w_f,
                                  avg_factor=avg_cls)
-        loss_bbox = l1_loss(pred4, bbox_t_f,
-                            bbox_w.reshape(n_tot, 4), avg_factor=float(n_tot))
+        if dyn_cfg is not None:
+            beta = batch.get("dyn_beta", dyn_cfg.get("initial_beta", 1.0))
+            loss_bbox = smooth_l1_loss(pred4, bbox_t_f, beta,
+                                       bbox_w.reshape(n_tot, 4),
+                                       avg_factor=float(n_tot))
+        else:
+            loss_bbox = l1_loss(pred4, bbox_t_f, bbox_w.reshape(n_tot, 4),
+                                avg_factor=float(n_tot))
         losses = {"loss_cls": loss_cls, "loss_bbox": loss_bbox}
+        if dyn_cfg is not None:
+            # beta statistic (reference ``dynamic_roi_head.py:118-126``):
+            # the (beta_topk * B)-th smallest mean |dx, dy| over positives
+            npos_tot = jnp.sum(pos_mask)
+            tgt_xy = jnp.mean(jnp.abs(bbox_t_f[:, :2]), axis=1)
+            masked = jnp.where(pos_mask, tgt_xy, jnp.inf)
+            order = jnp.sort(masked)
+            kk = jnp.minimum(int(dyn_cfg.get("beta_topk", 10)) * b,
+                             npos_tot)
+            kth = order[jnp.maximum(kk - 1, 0)]
+            losses["stat_dyn_beta"] = jnp.where(npos_tot > 0, kth, -1.0)
+            losses["stat_dyn_iou"] = jnp.mean(res["stat_kth_iou"]) \
+                if "stat_kth_iou" in res else jnp.float32(0.0)
         if carl_cfg:
             from ..losses import carl_loss
             probs = jax.nn.softmax(cls_score.astype(jnp.float32), -1)
@@ -924,3 +971,13 @@ class FasterRCNN(TwoStageDetector):
 
 class MaskRCNN(TwoStageDetector):
     """reference: ``mmdet/models/detectors/mask_rcnn.py``."""
+
+
+class DynamicRCNN(TwoStageDetector):
+    """Dynamic R-CNN (reference ``mmdet/models/detectors/
+    dynamic_rcnn.py`` + ``roi_heads/dynamic_roi_head.py``): a Faster
+    R-CNN whose second-stage IoU threshold and SmoothL1 beta follow the
+    proposal-quality statistics.  The statistics are computed in the
+    compiled step (``_roi_forward_train`` with
+    ``train_cfg.rcnn.dynamic_rcnn``) and the schedule runs on the host
+    (``apis/train.py``)."""

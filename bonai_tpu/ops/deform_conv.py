@@ -71,7 +71,10 @@ def deform_conv2d(x, offset, kernel, bias=None, stride=1, padding=1,
     flat = x.reshape(b * h * w, cin)
     base = (jnp.arange(b, dtype=jnp.int32) * (h * w))[:, None, None, None]
     i00 = base + y0 * w + x0
-    gather = lambda i: jnp.take(flat, i, axis=0)
+    # mode="clip": the +1/+w corner rows run past the array on 1-wide /
+    # 1-tall maps; their bilinear weight is exactly 0 there, but the
+    # default fill mode would turn them into NaN * 0 = NaN
+    gather = lambda i: jnp.take(flat, i, axis=0, mode="clip")
     vals = (gather(i00) * w00[..., None]
             + gather(i00 + 1) * w01[..., None]
             + gather(i00 + w) * w10[..., None]

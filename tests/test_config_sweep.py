@@ -26,8 +26,10 @@ def test_config_builds_detector(path):
     cfg = Config.fromfile(path)
     model = build_detector(cfg.model, cfg.get("train_cfg"),
                            cfg.get("test_cfg"))
+    # fixed-input families (SSD300/512, CornerNet) can't trace at 64^2
+    size = int(dict(cfg.model.get("backbone") or {}).get("input_size", 64))
     shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0),
-                            jnp.zeros((1, 64, 64, 3)))
+                            jnp.zeros((1, size, size, 3)))
     params = shapes["params"]
     assert "backbone" in params
     n = sum(int(jnp.prod(jnp.asarray(x.shape)))
