@@ -150,14 +150,41 @@ def train_detector(cfg, work_dir, seed=0, resume_from=None, load_from=None,
                                   batch_stats=loaded.batch_stats)
         logger.info("loaded weights from %s", path)
 
+    # deferred (device-side) normalisation: Normalize(device=True) in the
+    # train pipeline keeps images uint8 on the host; the step gets the
+    # constants and fuses the float math into the compiled program
+    img_norm = None
+    tcfg = cfg.data.get("train") or {}
+    while isinstance(tcfg, dict) and "pipeline" not in tcfg \
+            and "dataset" in tcfg:          # Repeat/ClassBalanced wrappers
+        tcfg = tcfg["dataset"]
+    for tr in tcfg.get("pipeline", []):
+        if isinstance(tr, dict) and tr.get("type") == "Normalize" \
+                and tr.get("device"):
+            img_norm = dict(mean=tr["mean"], std=tr["std"])
     train_step = make_train_step(model, tx, mesh=mesh,
-                                 lr_schedule=schedule)
+                                 lr_schedule=schedule, img_norm=img_norm)
     log_interval = log_interval or cfg.get("log_config", {}).get("interval", 10)
     ckpt_interval = checkpoint_interval or cfg.get(
         "checkpoint_config", {}).get("interval", 1)
 
     from ..engine.checkpoint import provenance_meta
     provenance = provenance_meta(cfg, getattr(dataset, "CLASSES", None))
+
+    # Dynamic R-CNN host-side hyperparameter schedule (reference
+    # ``mmdet/models/roi_heads/dynamic_roi_head.py:103-150``): the
+    # compiled step emits "stat_dyn_*" metrics; every
+    # update_iter_interval iterations the IoU threshold / SmoothL1 beta
+    # fed back into the step are refreshed from their history.
+    dyn_cfg = None
+    tc = cfg.get("train_cfg") or {}
+    if isinstance(tc, dict):
+        dyn_cfg = (tc.get("rcnn") or {}).get("dynamic_rcnn")
+    if dyn_cfg:
+        dyn_iou = float(dyn_cfg.get("initial_iou", 0.4))
+        dyn_beta = float(dyn_cfg.get("initial_beta", 1.0))
+        dyn_interval = int(dyn_cfg.get("update_iter_interval", 100))
+        dyn_iou_hist, dyn_beta_hist = [], []
 
     log_path = osp.join(work_dir, "train_log.jsonl")
     start_step = int(state.step)
@@ -172,8 +199,28 @@ def train_detector(cfg, work_dir, seed=0, resume_from=None, load_from=None,
             if max_steps is not None and step >= max_steps:
                 break
             step_rng = jax.random.fold_in(rng, step)
+            if dyn_cfg:
+                batch = dict(batch, dyn_iou_thr=jnp.float32(dyn_iou),
+                             dyn_beta=jnp.float32(dyn_beta))
             state, metrics = train_step(state, batch, step_rng)
             step += 1
+            if dyn_cfg:
+                # keep device scalars; force them only at update time
+                dyn_iou_hist.append(metrics.pop("stat_dyn_iou"))
+                dyn_beta_hist.append(metrics.pop("stat_dyn_beta"))
+                if len(dyn_iou_hist) >= dyn_interval:
+                    ious = [float(x) for x in dyn_iou_hist]
+                    betas = [v for v in (float(x) for x in dyn_beta_hist)
+                             if v >= 0]
+                    dyn_iou = max(float(dyn_cfg.get("initial_iou", 0.4)),
+                                  float(np.mean(ious)))
+                    if betas:
+                        dyn_beta = min(
+                            float(dyn_cfg.get("initial_beta", 1.0)),
+                            float(np.median(betas)))
+                    dyn_iou_hist, dyn_beta_hist = [], []
+                    logger.info("dynamic-rcnn update: iou_thr=%.3f "
+                                "beta=%.3f", dyn_iou, dyn_beta)
             if step % log_interval == 0:
                 metrics = {k: float(v) for k, v in metrics.items()}
                 dt = (time.time() - t0) / log_interval

@@ -180,8 +180,14 @@ def rasterize_instance_mask(polys, bbox, size):
 
 
 def pack_sample(result, max_gt, inst_mask_size, train=True):
-    """Pipeline output -> fixed-shape numpy sample (model batch contract)."""
-    img = np.ascontiguousarray(result["img"], np.float32)
+    """Pipeline output -> fixed-shape numpy sample (model batch contract).
+
+    Deferred (device-side) normalisation keeps the image uint8 here — it
+    crosses the tunnel 4x smaller and the compiled step normalises it.
+    """
+    img = result["img"]
+    dt = np.uint8 if img.dtype == np.uint8 else np.float32
+    img = np.ascontiguousarray(img, dt)
     h, w = result["img_shape"][:2]
     sf = result.get("scale_factor", 1.0)
     sf = float(np.asarray(sf).reshape(-1)[0])

@@ -684,20 +684,36 @@ class OffsetTransform:
 
 @PIPELINES.register_module()
 class Normalize:
-    """reference: ``transforms.py:660-676`` (BGR→RGB then (x-mean)/std)."""
+    """reference: ``transforms.py:660-676`` (BGR→RGB then (x-mean)/std).
 
-    def __init__(self, mean, std, to_rgb=True):
+    ``device=True`` is the TPU-first mode: the host only performs the
+    cheap uint8 channel flip and the float normalisation is fused into
+    the compiled step on device (``engine/train_step.py``) — the image
+    crosses the host→TPU tunnel as uint8, 4x fewer bytes.
+    """
+
+    def __init__(self, mean, std, to_rgb=True, device=False):
         self.mean = np.asarray(mean, np.float32)
         self.std = np.asarray(std, np.float32)
         self.to_rgb = to_rgb
+        self.device = device
 
     def __call__(self, results):
-        img = results["img"].astype(np.float32)
+        img = results["img"]
         if self.to_rgb:
-            img = img[..., ::-1]
-        results["img"] = (img - self.mean) / self.std
+            # materialise the channel flip BEFORE any float math: numpy
+            # ufuncs on a negative-stride view run a strided scalar loop
+            # (~8x slower on a 1024^2 tile and GIL-holding, which
+            # serialised the whole prefetch pool)
+            img = np.ascontiguousarray(img[..., ::-1])
+        if not self.device:
+            img = img.astype(np.float32)
+            img -= self.mean
+            img /= self.std
+        results["img"] = img
         results["img_norm_cfg"] = dict(mean=self.mean, std=self.std,
-                                       to_rgb=self.to_rgb)
+                                       to_rgb=self.to_rgb,
+                                       device=self.device)
         return results
 
 

@@ -15,6 +15,7 @@ from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 try:
@@ -38,19 +39,38 @@ from .train_state import TrainState
 
 
 def make_train_step(model, tx, mesh=None, axis_name="data", donate=True,
-                    lr_schedule=None):
+                    lr_schedule=None, img_norm=None):
     """Build the compiled train step ``(state, batch, rng) -> (state, metrics)``.
 
     With a mesh, the step is shard_map'd: batch sharded over ``axis_name``,
     state replicated, gradients pmean'd.  Without a mesh it is a plain jit
     (single device).
+
+    ``img_norm``: optional ``dict(mean=(3,), std=(3,))`` — the deferred
+    half of ``Normalize(device=True)``: uint8 images cross the tunnel
+    raw and are normalised here, fused into the compiled step.
     """
+    n_mean = n_std = None
+    if img_norm is not None:
+        n_mean = jnp.asarray(img_norm["mean"], jnp.float32)
+        n_std = jnp.asarray(img_norm["std"], jnp.float32)
 
     def loss_fn(params, batch_stats, batch, rng):
+        if batch["image"].dtype == jnp.uint8:
+            batch = dict(batch)
+            img = batch["image"].astype(jnp.float32)
+            if n_mean is not None:
+                img = (img - n_mean) / n_std
+            batch["image"] = img
+            if "gt_masks" in batch and batch["gt_masks"].dtype == jnp.uint8:
+                batch["gt_masks"] = batch["gt_masks"].astype(jnp.bfloat16)
         losses = model.apply({"params": params, "batch_stats": batch_stats},
                              batch, method="forward_train",
                              rngs={"sampling": rng})
-        total = sum(jnp.asarray(v, jnp.float32) for v in losses.values())
+        # "stat_*" entries are training statistics riding along for the
+        # host loop (Dynamic R-CNN hyperparameter updates), not losses
+        total = sum(jnp.asarray(v, jnp.float32)
+                    for k, v in losses.items() if not k.startswith("stat_"))
         return total, losses
 
     def local_step(state, batch, rng):
@@ -114,8 +134,11 @@ def device_prefetch(iterator, mesh=None, axis_name="data", size=2):
     def put(item):
         batch, meta = item
         # ship instance masks as bf16: u8 device layout conversion runs on
-        # the scalar core (profiled at ~24ms for 2.5MB); bf16 is vectorized
-        if "gt_masks" in batch:
+        # the scalar core (profiled at ~24ms for 2.5MB); bf16 is vectorized.
+        # EXCEPT in uint8-image (tunnel-optimised) mode, where halving the
+        # bytes on the wire beats the on-device relayout cost
+        if "gt_masks" in batch and batch.get(
+                "image", np.zeros(1)).dtype != np.uint8:
             batch = dict(batch)
             batch["gt_masks"] = jnp.asarray(batch["gt_masks"], jnp.bfloat16)
         if sharding is not None:
