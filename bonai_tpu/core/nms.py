@@ -117,13 +117,20 @@ def soft_nms(boxes, scores, iou_threshold=0.3, sigma=0.5, min_score=1e-3,
     # iou matrix once: O(N^2) memory; callers keep N <= ~4k
     iou = bbox_overlaps(boxes, boxes)
 
-    def body(t, carry):
-        cur_scores, out_scores, rank = carry
+    def cond(carry):
+        cur_scores, _, _, t = carry
+        # early exit: the sequential chain stops as soon as no score
+        # survives min_score — on real imagery that is the number of
+        # actual detections (~50-300), not the max_out cap (2000 at the
+        # BONAI test cfg), cutting eval-time soft-NMS cost ~10x
+        return (t < max_out) & (jnp.max(cur_scores) >= min_score)
+
+    def body(carry):
+        cur_scores, out_scores, rank, t = carry
         idx = jnp.argmax(cur_scores)
         top = cur_scores[idx]
-        take = top >= min_score
-        out_scores = jnp.where(take, out_scores.at[idx].set(top), out_scores)
-        rank = jnp.where(take, rank.at[idx].set(t), rank)
+        out_scores = out_scores.at[idx].set(top)
+        rank = rank.at[idx].set(t)
         iou_row = iou[idx]
         if method == "linear":
             decay = jnp.where(iou_row > iou_threshold, 1.0 - iou_row, 1.0)
@@ -131,13 +138,14 @@ def soft_nms(boxes, scores, iou_threshold=0.3, sigma=0.5, min_score=1e-3,
             decay = jnp.exp(-(iou_row * iou_row) / sigma)
         else:  # 'naive' == hard nms behaviour
             decay = jnp.where(iou_row > iou_threshold, 0.0, 1.0)
-        cur_scores = jnp.where(take, cur_scores * decay, cur_scores)
+        cur_scores = cur_scores * decay
         cur_scores = cur_scores.at[idx].set(0.0)
         cur_scores = jnp.where(cur_scores < min_score, 0.0, cur_scores)
-        return cur_scores, out_scores, rank
+        return cur_scores, out_scores, rank, t + 1
 
-    init = (scores, jnp.zeros_like(scores), jnp.full(n, -1, jnp.int32))
-    _, out_scores, rank = jax.lax.fori_loop(0, max_out, body, init)
+    init = (scores, jnp.zeros_like(scores), jnp.full(n, -1, jnp.int32),
+            jnp.int32(0))
+    _, out_scores, rank, _ = jax.lax.while_loop(cond, body, init)
     return out_scores, rank
 
 

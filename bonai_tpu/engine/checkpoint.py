@@ -64,7 +64,7 @@ def load_meta(path):
 
 
 def latest_checkpoint(work_dir):
-    root = osp.join(work_dir, "checkpoints")
+    root = osp.abspath(osp.join(work_dir, "checkpoints"))
     if not osp.isdir(root):
         return None
     steps = [int(d.split("_")[1]) for d in os.listdir(root)
@@ -78,7 +78,7 @@ def load_params_only(path):
     """Restore just {params, batch_stats} from a checkpoint (eval path —
     the optimizer state tree need not match)."""
     ckpter = ocp.StandardCheckpointer()
-    restored = ckpter.restore(osp.join(path, "state"))
+    restored = ckpter.restore(osp.join(osp.abspath(path), "state"))
     return restored["params"], restored.get("batch_stats", {})
 
 
@@ -90,5 +90,5 @@ def load_checkpoint(path, abstract_state):
                 "opt_state": abstract_state.opt_state,
                 "batch_stats": abstract_state.batch_stats,
                 "step": abstract_state.step}
-    restored = ckpter.restore(osp.join(path, "state"), template)
+    restored = ckpter.restore(osp.join(osp.abspath(path), "state"), template)
     return abstract_state.replace(**restored)

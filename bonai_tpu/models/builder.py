@@ -31,6 +31,7 @@ def build_detector(cfg, train_cfg=None, test_cfg=None, compute_dtype=None,
                                          FreeAnchor, GFL, RepPointsDetector,
                                          RetinaNet, SSD)
     from .detectors.cascade_rcnn import CascadeRCNN
+    from .detectors.grid_rcnn import GridRCNN
     from .detectors.htc import HTC
     registry = {"FasterRCNN": FasterRCNN, "MaskRCNN": MaskRCNN,
                 "LOFT": LOFT, "TwoStageDetector": TwoStageDetector,
@@ -39,7 +40,8 @@ def build_detector(cfg, train_cfg=None, test_cfg=None, compute_dtype=None,
                 "FoveaBox": FoveaBox, "FreeAnchor": FreeAnchor,
                 "RepPointsDetector": RepPointsDetector, "SSD": SSD,
                 "DynamicRCNN": DynamicRCNN,
-                "CascadeRCNN": CascadeRCNN, "HTC": HTC}
+                "CascadeRCNN": CascadeRCNN, "HTC": HTC,
+                "GridRCNN": GridRCNN}
     registry.update(DETECTORS.module_dict)
     cfg = _plain(dict(cfg))
     det_type = cfg.pop("type")

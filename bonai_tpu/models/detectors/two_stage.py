@@ -265,8 +265,10 @@ class TwoStageDetector(nn.Module):
                 fc_out_channels=bh.get("fc_out_channels", 1024),
                 roi_feat_size=bh.get("roi_feat_size", 7),
                 reg_class_agnostic=bh.get("reg_class_agnostic", False),
+                with_reg=bh.get("with_reg", True),
                 dtype=dt, name="bbox_head")
             self.double_head = False
+        self.bbox_with_reg = bh.get("with_reg", True)
         self.bbox_coder_cfg = bh.get(
             "bbox_coder", dict(target_means=[0.] * 4, target_stds=[1.] * 4))
         self.bbox_extractor_cfg = dict(cfg["bbox_roi_extractor"])
@@ -594,6 +596,8 @@ class TwoStageDetector(nn.Module):
             loss_bbox = l1_loss(pred4, bbox_t_f, bbox_w.reshape(n_tot, 4),
                                 avg_factor=float(n_tot))
         losses = {"loss_cls": loss_cls, "loss_bbox": loss_bbox}
+        if not getattr(self, "bbox_with_reg", True):
+            del losses["loss_bbox"]
         if dyn_cfg is not None:
             # beta statistic (reference ``dynamic_roi_head.py:118-126``):
             # the (beta_topk * B)-th smallest mean |dx, dy| over positives

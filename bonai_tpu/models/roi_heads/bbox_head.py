@@ -21,6 +21,7 @@ class Shared2FCBBoxHead(nn.Module):
     fc_out_channels: int = 1024
     roi_feat_size: int = 7
     reg_class_agnostic: bool = False
+    with_reg: bool = True        # Grid R-CNN: cls-only head (with_reg=False)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -37,6 +38,12 @@ class Shared2FCBBoxHead(nn.Module):
                              kernel_init=nn.initializers.normal(0.01),
                              name="fc_cls")(x)
         reg_dim = 4 if self.reg_class_agnostic else 4 * self.num_classes
+        if not self.with_reg:
+            # zero deltas decode to the proposal itself (identity refine);
+            # the detector drops loss_bbox (reference GridRCNN config
+            # ``with_reg=False`` — localisation comes from the grid head)
+            return cls_score.astype(jnp.float32), jnp.zeros(
+                (n, reg_dim), jnp.float32)
         bbox_pred = nn.Dense(reg_dim, dtype=self.dtype,
                              kernel_init=nn.initializers.normal(0.001),
                              name="fc_reg")(x)
