@@ -27,12 +27,13 @@ def build_detector(cfg, train_cfg=None, test_cfg=None, compute_dtype=None,
                    roi_align_impl=None):
     from .detectors import FasterRCNN, MaskRCNN, LOFT, TwoStageDetector
     from .detectors.two_stage import DynamicRCNN
-    from .detectors.single_stage import (ATSS, FCOS, FSAF, FoveaBox,
-                                         FreeAnchor, GFL, RepPointsDetector,
-                                         RetinaNet, SSD)
+    from .detectors.single_stage import (ATSS, CornerNet, FCOS, FSAF,
+                                         FoveaBox, FreeAnchor, GFL,
+                                         RepPointsDetector, RetinaNet, SSD)
     from .detectors.cascade_rcnn import CascadeRCNN
     from .detectors.grid_rcnn import GridRCNN
     from .detectors.htc import HTC
+    from .detectors.point_rend import PointRend
     registry = {"FasterRCNN": FasterRCNN, "MaskRCNN": MaskRCNN,
                 "LOFT": LOFT, "TwoStageDetector": TwoStageDetector,
                 "RetinaNet": RetinaNet, "FCOS": FCOS, "ATSS": ATSS,
@@ -41,7 +42,8 @@ def build_detector(cfg, train_cfg=None, test_cfg=None, compute_dtype=None,
                 "RepPointsDetector": RepPointsDetector, "SSD": SSD,
                 "DynamicRCNN": DynamicRCNN,
                 "CascadeRCNN": CascadeRCNN, "HTC": HTC,
-                "GridRCNN": GridRCNN}
+                "GridRCNN": GridRCNN, "PointRend": PointRend,
+                "CornerNet": CornerNet}
     registry.update(DETECTORS.module_dict)
     cfg = _plain(dict(cfg))
     det_type = cfg.pop("type")

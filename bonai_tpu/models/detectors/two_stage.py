@@ -274,12 +274,25 @@ class TwoStageDetector(nn.Module):
         self.bbox_extractor_cfg = dict(cfg["bbox_roi_extractor"])
         if cfg.get("mask_head") is not None:
             mh = dict(cfg["mask_head"])
-            self.mask_head_m = FCNMaskHead(
-                num_convs=mh.get("num_convs", 4),
-                in_channels=mh.get("in_channels", 256),
-                conv_out_channels=mh.get("conv_out_channels", 256),
-                num_classes=mh.get("num_classes", 1),
-                dtype=dt, name="mask_head")
+            if mh.get("type", "FCNMaskHead") == "CoarseMaskHead":
+                # PointRend coarse stage (reference coarse_mask_head.py)
+                from ..roi_heads.point_head import CoarseMaskHead
+                self.mask_head_m = CoarseMaskHead(
+                    num_convs=mh.get("num_convs", 0),
+                    num_fcs=mh.get("num_fcs", 2),
+                    in_channels=mh.get("in_channels", 256),
+                    conv_out_channels=mh.get("conv_out_channels", 256),
+                    fc_out_channels=mh.get("fc_out_channels", 1024),
+                    num_classes=mh.get("num_classes", 1),
+                    roi_feat_size=mh.get("roi_feat_size", 14),
+                    dtype=dt, name="mask_head")
+            else:
+                self.mask_head_m = FCNMaskHead(
+                    num_convs=mh.get("num_convs", 4),
+                    in_channels=mh.get("in_channels", 256),
+                    conv_out_channels=mh.get("conv_out_channels", 256),
+                    num_classes=mh.get("num_classes", 1),
+                    dtype=dt, name="mask_head")
             self.mask_extractor_cfg = dict(cfg["mask_roi_extractor"])
         else:
             self.mask_head_m = None
