@@ -622,6 +622,127 @@ class _FixedCrop:
 
 
 @PIPELINES.register_module()
+class SegRescale:
+    """Rescale semantic segmentation maps (reference ``transforms.py``
+    SegRescale — nearest-neighbour, used by HTC semantic branch)."""
+
+    def __init__(self, scale_factor=1):
+        self.scale_factor = scale_factor
+
+    def __call__(self, results):
+        if self.scale_factor != 1 and "gt_semantic_seg" in results:
+            import cv2
+            seg = results["gt_semantic_seg"]
+            h, w = seg.shape[:2]
+            results["gt_semantic_seg"] = cv2.resize(
+                seg, (int(w * self.scale_factor + 0.5),
+                      int(h * self.scale_factor + 0.5)),
+                interpolation=cv2.INTER_NEAREST)
+        return results
+
+
+@PIPELINES.register_module()
+class RandomCenterCropPad:
+    """Random center crop with around-padding (reference
+    ``transforms.py`` RandomCenterCropPad — CornerNet pipeline).
+
+    Train: output shape = random ratio * crop_size, random center chosen
+    away from image borders, mean-filled canvas, boxes filtered by
+    center-in-patch.  Test: mean-filled canvas centered on the image with
+    ``logical_or``/``size_divisor`` padded shape; records ``border``.
+    Masks (polygons) translate with the boxes.
+    """
+
+    def __init__(self, crop_size=None, ratios=(0.9, 1.0, 1.1), border=128,
+                 mean=(0, 0, 0), std=None, to_rgb=None, test_mode=False,
+                 test_pad_mode=("logical_or", 127)):
+        self.crop_size = crop_size
+        self.ratios = ratios
+        self.border = border
+        self.mean = list(mean)[::-1] if to_rgb else list(mean)
+        self.test_mode = test_mode
+        self.test_pad_mode = test_pad_mode
+
+    @staticmethod
+    def _get_border(border, size):
+        # shrink the border until the center range is non-empty
+        # (reference ``_get_border``)
+        k = 2 * border / size
+        i = 2 ** (np.ceil(np.log2(np.ceil(k))) + (k == int(k)))
+        return int(border // i)
+
+    def _paste(self, img, cy, cx, th, tw):
+        h, w = img.shape[:2]
+        x0, x1 = max(0, cx - tw // 2), min(cx + tw // 2, w)
+        y0, y1 = max(0, cy - th // 2), min(cy + th // 2, h)
+        canvas = np.empty((th, tw, img.shape[2]), img.dtype)
+        canvas[...] = np.asarray(self.mean, img.dtype)
+        ccy, ccx = th // 2, tw // 2
+        top, bottom = cy - y0, y1 - cy
+        left, right = cx - x0, x1 - cx
+        canvas[ccy - top:ccy + bottom, ccx - left:ccx + right] = \
+            img[y0:y1, x0:x1]
+        border = np.array([ccy - top, ccy + bottom, ccx - left,
+                           ccx + right], np.float32)
+        return canvas, border, (x0, y0, x1, y1), (ccx - left - x0,
+                                                  ccy - top - y0)
+
+    def __call__(self, results):
+        img = results["img"]
+        h, w = img.shape[:2]
+        if self.test_mode:
+            if self.test_pad_mode[0] == "logical_or":
+                th = h | self.test_pad_mode[1]
+                tw = w | self.test_pad_mode[1]
+            else:
+                d = self.test_pad_mode[1]
+                th = int(np.ceil(h / d) * d)
+                tw = int(np.ceil(w / d) * d)
+            canvas, border, _, shift = self._paste(
+                img, h // 2, w // 2, th, tw)
+            results["img"] = canvas
+            results["img_shape"] = (th, tw)
+            results["border"] = border
+            return results
+
+        rng = results.setdefault("_rng", np.random.RandomState())
+        boxes = results.get("gt_bboxes", np.zeros((0, 4), np.float32))
+        for _ in range(50):
+            scale = self.ratios[rng.randint(len(self.ratios))]
+            th = int(self.crop_size[0] * scale)
+            tw = int(self.crop_size[1] * scale)
+            hb = self._get_border(self.border, h)
+            wb = self._get_border(self.border, w)
+            cx = rng.randint(wb, max(w - wb, wb + 1))
+            cy = rng.randint(hb, max(h - hb, hb + 1))
+            canvas, border, patch, shift = self._paste(img, cy, cx, th, tw)
+            ctr = (boxes[:, :2] + boxes[:, 2:]) / 2
+            keep = ((ctr[:, 0] > patch[0]) & (ctr[:, 1] > patch[1])
+                    & (ctr[:, 0] < patch[2]) & (ctr[:, 1] < patch[3]))
+            if len(boxes) and not keep.any():
+                continue
+            results["img"] = canvas
+            results["img_shape"] = (th, tw)
+            results["border"] = border
+            sx, sy = shift
+            if len(boxes):
+                b = boxes[keep] + np.array([sx, sy, sx, sy], np.float32)
+                b[:, 0::2] = b[:, 0::2].clip(0, tw)
+                b[:, 1::2] = b[:, 1::2].clip(0, th)
+                results["gt_bboxes"] = b
+                for key in ("gt_labels", "gt_offsets"):
+                    if key in results and len(results[key]):
+                        results[key] = results[key][keep]
+                if "gt_masks" in results:
+                    mshift = np.array([sx, sy], np.float32)
+                    results["gt_masks"] = [
+                        [p + mshift for p in inst]
+                        for inst, k in zip(results["gt_masks"], keep) if k]
+            return results
+        return results
+
+
+@PIPELINES.register_module()
 class PhotoMetricDistortion:
     """Brightness/contrast/saturation jitter (reference:
     ``transforms.py`` PhotoMetricDistortion, simplified HSV path)."""

@@ -68,7 +68,9 @@ def build_optimizer(optimizer_cfg, lr_schedule, grad_clip=None,
     if opt_type == "SGD":
         if momentum:
             chain.append(optax.trace(decay=momentum, nesterov=False))
-    elif opt_type == "AdamW":
+    elif opt_type in ("Adam", "AdamW"):
+        # reference Adam (CornerNet recipe) / AdamW; decoupled decay is
+        # applied above when weight_decay is set
         chain.append(optax.scale_by_adam())
     else:
         raise KeyError(f"unsupported optimizer type {opt_type}")

@@ -871,3 +871,142 @@ class RepPointsDetector(nn.Module):
                     scale_factor)[:, None, None],
                 "det_scores": det_scores, "det_labels": det_labels,
                 "det_valid": det_valid}
+
+
+class CornerNet(nn.Module):
+    """CornerNet detector (reference ``mmdet/models/detectors/
+    cornernet.py`` — SingleStageDetector with HourglassNet + CornerHead;
+    decode + soft-NMS replace the anchor pipeline)."""
+    backbone: Any = None
+    neck: Any = None
+    bbox_head: Any = None
+    train_cfg: Any = None
+    test_cfg: Any = None
+    pretrained: Optional[str] = None
+    compute_dtype: str = "float32"
+
+    def setup(self):
+        from ..backbones.hourglass import HourglassNet
+        from ..dense_heads.corner_head import CornerHead
+        dt = _dtype(self.compute_dtype)
+        bk = dict(self.backbone)
+        self.backbone_m = HourglassNet(
+            downsample_times=bk.get("downsample_times", 5),
+            num_stacks=bk.get("num_stacks", 2),
+            stage_channels=tuple(bk.get("stage_channels",
+                                        (256, 256, 384, 384, 384, 512))),
+            stage_blocks=tuple(bk.get("stage_blocks", (2, 2, 2, 2, 2, 4))),
+            feat_channel=bk.get("feat_channel", 256), dtype=dt,
+            name="backbone")
+        bh = dict(self.bbox_head)
+        self.num_classes = bh.get("num_classes", 1)
+        self.head_m = CornerHead(
+            num_classes=self.num_classes,
+            in_channels=bh.get("in_channels", 256),
+            num_feat_levels=bh.get("num_feat_levels", 2),
+            corner_emb_channels=bh.get("corner_emb_channels", 1),
+            dtype=dt, name="bbox_head")
+        lh = dict(bh.get("loss_heatmap") or {})
+        self.heat_alpha = lh.get("alpha", 2.0)
+        self.heat_gamma = lh.get("gamma", 4.0)
+        self.heat_weight = lh.get("loss_weight", 1.0)
+        le = dict(bh.get("loss_embedding") or {})
+        self.pull_weight = le.get("pull_weight", 0.25)
+        self.push_weight = le.get("push_weight", 0.25)
+        lo = dict(bh.get("loss_offset") or {})
+        self.off_beta = lo.get("beta", 1.0)
+        self.off_weight = lo.get("loss_weight", 1.0)
+
+    def extract_feat(self, img):
+        return self.backbone_m(img)
+
+    def __call__(self, img):
+        return self.head_m(self.extract_feat(img))
+
+    def forward_train(self, batch):
+        from ..dense_heads.corner_head import corner_targets
+        from ..losses import (AssociativeEmbeddingLoss, GaussianFocalLoss,
+                              smooth_l1_loss)
+        img = batch["image"]
+        feats = self.extract_feat(img)
+        outs = self.head_m(feats)
+        fh, fw = feats[-1].shape[1:3]
+        img_h, img_w = img.shape[1:3]
+        tgt = jax.vmap(lambda gb, gv: corner_targets(
+            gb, gv, fh, fw, img_h, img_w))(
+            batch["gt_bboxes"], batch["gt_valid"])
+        gfl = GaussianFocalLoss(alpha=self.heat_alpha,
+                                gamma=self.heat_gamma,
+                                loss_weight=self.heat_weight)
+        ael = AssociativeEmbeddingLoss(self.pull_weight, self.push_weight)
+        b = img.shape[0]
+        bidx = jnp.arange(b)[:, None]
+        losses = {}
+        det = off = pull = push = 0.0
+        for out in outs:
+            for side in ("tl", "br"):
+                heat_t = tgt[f"{side}_heat"]                 # (B, H, W)
+                pos = (heat_t == 1).astype(jnp.float32)
+                det += gfl(jax.nn.sigmoid(out[f"{side}_heat"][..., 0]),
+                           heat_t,
+                           avg_factor=jnp.maximum(jnp.sum(pos), 1.0)) / 2
+                # offset loss only at exact corners
+                m = pos[..., None]
+                off += smooth_l1_loss(
+                    out[f"{side}_off"], tgt[f"{side}_off"], self.off_beta,
+                    jnp.broadcast_to(m, out[f"{side}_off"].shape),
+                    avg_factor=jnp.maximum(jnp.sum(m) * 2, 1.0)) / 2
+            if "tl_emb" in out:
+                # gather per-gt corner embeddings -> padded AE loss
+                tp, bp = tgt["tl_pos"], tgt["br_pos"]        # (B, G, 2)
+                te = out["tl_emb"][..., 0][bidx, tp[..., 0], tp[..., 1]]
+                be = out["br_emb"][..., 0][bidx, bp[..., 0], bp[..., 1]]
+                pl, ps = jax.vmap(ael)(te, be, batch["gt_valid"])
+                pull += jnp.mean(pl)
+                push += jnp.mean(ps)
+        n_lvl = len(outs)
+        losses["loss_heatmap"] = det / n_lvl
+        losses["loss_offset"] = off / n_lvl
+        if "tl_emb" in outs[0]:
+            losses["loss_pull"] = pull / n_lvl
+            losses["loss_push"] = push / n_lvl
+        return losses
+
+    def simple_test(self, img, img_shape, scale_factor):
+        from ...core.nms import soft_nms
+        from ..dense_heads.corner_head import decode_corners
+        feats = self.extract_feat(img)
+        outs = self.head_m(feats)
+        out = outs[-1]
+        cfg = dict(self.test_cfg)
+        k = cfg.get("corner_topk", 100)
+        num_dets = cfg.get("num_dets", 1000)
+        max_per_img = cfg.get("max_per_img", 100)
+        nms_cfg = dict(cfg.get("nms", dict(type="soft_nms",
+                                           iou_threshold=0.5,
+                                           method="gaussian")))
+        img_h, img_w = img.shape[1:3]
+
+        def one(level_out, ishape):
+            boxes, scores = decode_corners(
+                level_out, img_h, img_w, k=k,
+                distance_threshold=cfg.get("distance_threshold", 0.5),
+                num_dets=num_dets)
+            valid = scores > 0
+            new_scores, rank = soft_nms(
+                boxes, jnp.maximum(scores, 0.0),
+                iou_threshold=nms_cfg.get("iou_threshold", 0.5),
+                sigma=nms_cfg.get("sigma", 0.5),
+                method=nms_cfg.get("method", "gaussian"),
+                max_out=max_per_img, valid=valid)
+            top_s, top_i = jax.lax.top_k(new_scores, max_per_img)
+            return (boxes[top_i], top_s,
+                    jnp.zeros((max_per_img,), jnp.int32),
+                    (top_s > 0) & (rank[top_i] >= 0))
+
+        det_boxes, det_scores, det_labels, det_valid = jax.vmap(one)(
+            out, img_shape)
+        return {"det_bboxes": det_boxes / jnp.asarray(
+                    scale_factor)[:, None, None],
+                "det_scores": det_scores, "det_labels": det_labels,
+                "det_valid": det_valid}

@@ -103,3 +103,45 @@ def test_loss_family_extras():
     assert abs(float(BalancedL1Loss()(t, t))) < 1e-6
     g = GHMC()(p, t, weight=jnp.ones((2, 2)))
     assert np.isfinite(float(g)) and float(g) > 0
+
+
+def test_seg_rescale():
+    from bonai_tpu.datasets.pipelines.transforms import SegRescale
+    s = _sample()
+    s["gt_semantic_seg"] = np.arange(64 * 64).reshape(64, 64) % 3
+    s["gt_semantic_seg"] = s["gt_semantic_seg"].astype(np.uint8)
+    out = SegRescale(scale_factor=0.5)(s)
+    assert out["gt_semantic_seg"].shape == (32, 32)
+    # nearest-neighbour: values come from the original label set
+    assert set(np.unique(out["gt_semantic_seg"])) <= {0, 1, 2}
+
+
+def test_random_center_crop_pad_train():
+    from bonai_tpu.datasets.pipelines.transforms import RandomCenterCropPad
+    s = _sample(size=64)
+    t = RandomCenterCropPad(crop_size=(48, 48), ratios=(1.0,), border=16,
+                            mean=(1, 2, 3), to_rgb=False)
+    out = t(s)
+    assert out["img"].shape[:2] == (48, 48)
+    assert out["img_shape"] == (48, 48)
+    n = len(out["gt_bboxes"])
+    assert len(out["gt_masks"]) == n and len(out["gt_offsets"]) == n
+    assert (out["gt_bboxes"] >= 0).all()
+    assert (out["gt_bboxes"][:, 0::2] <= 48).all()
+    assert (out["gt_bboxes"][:, 1::2] <= 48).all()
+    # surviving box centers sit inside the canvas
+    ctr = (out["gt_bboxes"][:, :2] + out["gt_bboxes"][:, 2:]) / 2
+    assert ((ctr > 0) & (ctr < 48)).all()
+
+
+def test_random_center_crop_pad_test_mode():
+    from bonai_tpu.datasets.pipelines.transforms import RandomCenterCropPad
+    s = _sample(size=100)
+    s["img"] = np.random.RandomState(0).rand(100, 90, 3).astype(np.float32)
+    t = RandomCenterCropPad(crop_size=None, ratios=None, border=None,
+                            mean=(0, 0, 0), to_rgb=False, test_mode=True,
+                            test_pad_mode=("logical_or", 127))
+    out = t(s)
+    # 100|127 = 127, 90|127 = 127
+    assert out["img"].shape[:2] == (127, 127)
+    assert "border" in out
