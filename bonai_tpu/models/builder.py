@@ -26,7 +26,7 @@ def _plain(obj):
 def build_detector(cfg, train_cfg=None, test_cfg=None, compute_dtype=None,
                    roi_align_impl=None):
     from .detectors import FasterRCNN, MaskRCNN, LOFT, TwoStageDetector
-    from .detectors.two_stage import DynamicRCNN
+    from .detectors.two_stage import DynamicRCNN, FastRCNN, RPN
     from .detectors.single_stage import (ATSS, CornerNet, FCOS, FSAF,
                                          FoveaBox, FreeAnchor, GFL,
                                          RepPointsDetector, RetinaNet, SSD)
@@ -43,7 +43,7 @@ def build_detector(cfg, train_cfg=None, test_cfg=None, compute_dtype=None,
                 "DynamicRCNN": DynamicRCNN,
                 "CascadeRCNN": CascadeRCNN, "HTC": HTC,
                 "GridRCNN": GridRCNN, "PointRend": PointRend,
-                "CornerNet": CornerNet}
+                "CornerNet": CornerNet, "RPN": RPN, "FastRCNN": FastRCNN}
     registry.update(DETECTORS.module_dict)
     cfg = _plain(dict(cfg))
     det_type = cfg.pop("type")

@@ -177,7 +177,26 @@ class TwoStageDetector(nn.Module):
                 stage_with_dcn=tuple(bk.get("stage_with_dcn",
                                             (False,) * 4)),
                 dtype=dt, name="backbone")
-        nk = dict(self.neck)
+        if isinstance(self.neck, (list, tuple)):
+            # chained necks, e.g. [FPN, BFP] (Libra R-CNN, reference
+            # configs/libra_rcnn/*: neck is a list)
+            nk = dict(self.neck[0])
+            extras = []
+            for j, ecfg in enumerate(self.neck[1:]):
+                ecfg = dict(ecfg)
+                etype = ecfg.pop("type", "BFP")
+                assert etype == "BFP", f"unsupported chained neck {etype}"
+                from ..necks.bfp import BFP
+                extras.append(BFP(
+                    in_channels=ecfg.get("in_channels", 256),
+                    num_levels=ecfg.get("num_levels", 5),
+                    refine_level=ecfg.get("refine_level", 2),
+                    refine_type=ecfg.get("refine_type"),
+                    dtype=dt, name=f"neck_extra{j}"))
+            self.neck_extra_ms = tuple(extras)
+        else:
+            nk = dict(self.neck)
+            self.neck_extra_ms = ()
         nk_type = nk.pop("type", "FPN")
         if nk_type == "HRFPN":
             from ..necks.hrfpn import HRFPN
@@ -238,7 +257,15 @@ class TwoStageDetector(nn.Module):
                 * len(ag_cfg.get("scales", [8])),
                 dtype=dt, name="rpn_head")
         self.rpn_bbox_coder = rh.get("bbox_coder", {})
-        self._setup_roi_head(dt)
+        if self.roi_head is None:
+            # RPN-only detector (reference mmdet/models/detectors/rpn.py)
+            self.bbox_head_m = None
+            self.mask_head_m = None
+            self.mask_iou_head_m = None
+            self.double_head = False
+            self.bbox_with_reg = True
+        else:
+            self._setup_roi_head(dt)
 
     def _setup_roi_head(self, dt):
         cfg = dict(self.roi_head)
@@ -269,6 +296,12 @@ class TwoStageDetector(nn.Module):
                 dtype=dt, name="bbox_head")
             self.double_head = False
         self.bbox_with_reg = bh.get("with_reg", True)
+        lb = dict(bh.get("loss_bbox") or {})
+        # non-default regression losses dispatch through the registry
+        # (Libra BalancedL1Loss etc.); the L1/SmoothL1 defaults keep the
+        # fused inline path
+        self.bbox_loss_cfg = lb if lb.get("type") not in (
+            None, "L1Loss", "SmoothL1Loss") else None
         self.bbox_coder_cfg = bh.get(
             "bbox_coder", dict(target_means=[0.] * 4, target_stds=[1.] * 4))
         self.bbox_extractor_cfg = dict(cfg["bbox_roi_extractor"])
@@ -319,7 +352,10 @@ class TwoStageDetector(nn.Module):
         return self.mask_head_m is not None
 
     def extract_feat(self, img):
-        return self.neck_m(self.backbone_m(img))
+        feats = self.neck_m(self.backbone_m(img))
+        for extra in self.neck_extra_ms:
+            feats = extra(feats)
+        return feats
 
     def _roi_align_cfg(self, extractor_cfg, feats, rois, roi_valid,
                        flat_pack=None):
@@ -414,6 +450,8 @@ class TwoStageDetector(nn.Module):
         ``init`` creates the full tree (reference ``two_stage.py:87-103``)."""
         feats = self.extract_feat(img)
         outs = self.rpn_head_m(feats)
+        if self.bbox_head_m is None:         # RPN-only detector
+            return outs
         rois = jnp.tile(jnp.asarray([[0., 0., 0., 32., 32.]]), (4, 1))
         strides = list(self.bbox_extractor_cfg.get(
             "featmap_strides", [4, 8, 16, 32]))
@@ -487,6 +525,8 @@ class TwoStageDetector(nn.Module):
                           reg_weight=rpn_reg_weight)
         losses.update(img_losses)
 
+        if self.bbox_head_m is None:        # RPN-only detector
+            return losses
         proposals = jax.lax.stop_gradient(proposals)
         losses.update(self._roi_forward_train(
             feats, proposals, prop_valid, batch, rng_rcnn))
@@ -605,6 +645,12 @@ class TwoStageDetector(nn.Module):
             loss_bbox = smooth_l1_loss(pred4, bbox_t_f, beta,
                                        bbox_w.reshape(n_tot, 4),
                                        avg_factor=float(n_tot))
+        elif getattr(self, "bbox_loss_cfg", None):
+            # config-dispatched regression loss (Libra R-CNN:
+            # loss_bbox=dict(type='BalancedL1Loss', ...))
+            loss_bbox = build_loss(dict(self.bbox_loss_cfg))(
+                pred4, bbox_t_f, bbox_w.reshape(n_tot, 4),
+                avg_factor=float(n_tot))
         else:
             loss_bbox = l1_loss(pred4, bbox_t_f, bbox_w.reshape(n_tot, 4),
                                 avg_factor=float(n_tot))
@@ -770,7 +816,21 @@ class TwoStageDetector(nn.Module):
         test_rpn = dict(self.test_cfg.get("rpn", {}))
         (_, _, _, proposals, prop_scores,
          prop_valid) = self._rpn_and_proposals(feats, img_shape, test_rpn)
+        if self.bbox_head_m is None:
+            # RPN-only detector: proposals ARE the detections
+            # (reference rpn.py simple_test -> proposal list)
+            return {"det_bboxes": proposals / jnp.asarray(
+                        scale_factor)[:, None, None],
+                    "det_scores": prop_scores,
+                    "det_labels": jnp.zeros(prop_scores.shape, jnp.int32),
+                    "det_valid": prop_valid}
+        return self._rcnn_simple_test(feats, proposals, prop_valid,
+                                      img_shape, scale_factor)
 
+    def _rcnn_simple_test(self, feats, proposals, prop_valid, img_shape,
+                          scale_factor):
+        """Second-stage test on given proposals (shared by the standard
+        path and FastRCNN's precomputed-proposal path)."""
         rcnn = dict(self.test_cfg["rcnn"])
         b, n = proposals.shape[:2]
         flat_pack = self._flat_pack(feats)
@@ -998,3 +1058,50 @@ class DynamicRCNN(TwoStageDetector):
     compiled step (``_roi_forward_train`` with
     ``train_cfg.rcnn.dynamic_rcnn``) and the schedule runs on the host
     (``apis/train.py``)."""
+
+
+class RPN(TwoStageDetector):
+    """RPN-only detector (reference ``mmdet/models/detectors/rpn.py``):
+    proposals are the detections; no second stage.  Configure with
+    ``roi_head=None``."""
+
+    def forward_train(self, batch):
+        feats = self.extract_feat(batch["image"])
+        proposal_cfg = dict(self.train_cfg.get("rpn_proposal", {}))
+        (cls_scores, bbox_preds, anchors_levels, _, _,
+         _) = self._rpn_and_proposals(feats, batch["img_shape"],
+                                      proposal_cfg)
+        from ..dense_heads.rpn_head import rpn_loss
+        anchors_flat = jnp.concatenate(anchors_levels, axis=0)
+        return rpn_loss(cls_scores, bbox_preds, anchors_flat,
+                        batch["gt_bboxes"], batch["gt_valid"],
+                        self.make_rng("sampling"),
+                        dict(self.train_cfg["rpn"]))
+
+
+class FastRCNN(TwoStageDetector):
+    """Fast R-CNN (reference ``mmdet/models/detectors/fast_rcnn.py``):
+    second stage on externally supplied proposals (selective search /
+    cached RPN).  ``batch['proposals']`` (B, N, 4) +
+    ``batch['proposals_valid']`` (B, N) replace the RPN branch."""
+
+    def forward_train(self, batch):
+        feats = self.extract_feat(batch["image"])
+        rng = self.make_rng("sampling")
+        proposals = batch["proposals"]
+        prop_valid = batch.get(
+            "proposals_valid",
+            jnp.ones(proposals.shape[:2], bool))
+        losses, _ = self._image_level_train(feats, batch)
+        losses = dict(losses)
+        losses.update(self._roi_forward_train(
+            feats, proposals, prop_valid, batch, rng))
+        return losses
+
+    def simple_test(self, img, img_shape, scale_factor, proposals,
+                    proposals_valid=None):
+        feats = self.extract_feat(img)
+        if proposals_valid is None:
+            proposals_valid = jnp.ones(proposals.shape[:2], bool)
+        return self._rcnn_simple_test(feats, proposals, proposals_valid,
+                                      img_shape, scale_factor)

@@ -400,7 +400,8 @@ def pallas_multilevel_roi_align(features, rois, output_size,
                                 featmap_strides, sampling_ratio=2,
                                 aligned=True, finest_scale=56,
                                 roi_valid=None, flat_pack=None, window=40,
-                                interpret=False, backward="rmw"):
+                                interpret=False, backward="rmw",
+                                chunk=2048):
     """Drop-in replacement for ``multilevel_roi_align`` with a Pallas
     strip-DMA forward (same contract; differentiable in the feature
     pyramid).
@@ -426,6 +427,30 @@ def pallas_multilevel_roi_align(features, rois, output_size,
     if flat_pack is None:
         flat_pack = prepare_flat_levels(features[:len(featmap_strides)])
     flat, consts = flat_pack
+
+    # SMEM budget: the scalar-prefetch plan arrays scale with R
+    # (~250 B/RoI); past ~4k RoIs the 1 MB SMEM overflows (hit at the
+    # eval cfg: 2 x 3000 proposals).  Chunk the RoI axis — the shared
+    # ``flat`` buffer makes per-chunk backward contributions sum
+    # naturally through JAX linearity.
+    R_total = int(rois.shape[0])
+    CHUNK = int(chunk)
+    if R_total > CHUNK:
+        n_chunks = -(-R_total // CHUNK)
+        pad = n_chunks * CHUNK - R_total
+        rois_p = jnp.concatenate(
+            [rois, jnp.zeros((pad,) + rois.shape[1:], rois.dtype)])
+        rv = roi_valid if roi_valid is not None \
+            else jnp.ones((R_total,), bool)
+        rv_p = jnp.concatenate([rv, jnp.zeros((pad,), rv.dtype)])
+        outs = [
+            pallas_multilevel_roi_align(
+                features, rois_p[i * CHUNK:(i + 1) * CHUNK], output_size,
+                featmap_strides, sampling_ratio, aligned, finest_scale,
+                rv_p[i * CHUNK:(i + 1) * CHUNK], flat_pack, window,
+                interpret, backward, CHUNK)
+            for i in range(n_chunks)]
+        return jnp.concatenate(outs, axis=0)[:R_total]
     plan = _plan(rois, consts, featmap_strides, output_size, sr, aligned,
                  finest_scale, window, roi_valid)
     # strips are fetched from 8-aligned starts: e0 may reach window+7,

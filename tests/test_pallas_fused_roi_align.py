@@ -178,3 +178,26 @@ def test_rmw_backward_narrow_level_partial_overlap():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-4,
                                    err_msg=f"stride {s}")
+
+
+def test_chunked_roi_axis_matches_unchunked():
+    """SMEM guard: >chunk RoIs split into multiple kernel calls; fwd and
+    bwd must match the single-call path (eval cfg hits R=6000)."""
+    feats, rois = _fixture(n=24)
+
+    def run(chunk):
+        def f(fs):
+            out = pallas_multilevel_roi_align(
+                fs, rois, 7, STRIDES, sampling_ratio=2, interpret=True,
+                chunk=chunk)
+            return jnp.sum(out * out), out
+        (loss, out), grads = jax.value_and_grad(f, has_aux=True)(feats)
+        return out, grads
+
+    out1, g1 = run(chunk=2048)     # single call (24 <= 2048)
+    out2, g2 = run(chunk=10)       # 3 chunks with padding
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(out1),
+                               rtol=1e-5, atol=1e-5)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-4)
