@@ -78,9 +78,13 @@ class Bottleneck(nn.Module):
     base_width: int = 4      # (reference: mmdet/models/backbones/resnext.py)
     dcn: bool = False        # conv2 -> modulated deformable conv (DCNv2,
                              # reference resnet.py ``dcn=`` stage plugin)
+    sac: bool = False        # conv2 -> switchable atrous conv (DetectoRS,
+                             # reference detectors_resnet.py ``sac=``)
+    rfp_in: bool = False     # accept an RFP feature (zero-init 1x1 add,
+                             # reference detectors_resnet.py rfp_forward)
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, rfp_feat=None):
         identity = x
         if self.groups == 1:
             width = self.planes
@@ -96,6 +100,11 @@ class Bottleneck(nn.Module):
                 features=width, kernel_size=3, stride=self.stride,
                 padding=1, use_bias=False, dtype=self.dtype,
                 name="conv2")(out)
+        elif self.sac:
+            from ...ops.saconv import SAConv2d
+            out = SAConv2d(features=width, kernel_size=3,
+                           stride=self.stride, dtype=self.dtype,
+                           name="conv2")(out)
         else:
             out = conv(width, 3, self.stride, 1, "conv2", self.dtype,
                        groups=self.groups)(out)
@@ -108,7 +117,15 @@ class Bottleneck(nn.Module):
             identity = conv(self.planes * self.expansion, 1, self.stride, 0,
                             "ds_conv", self.dtype)(x)
             identity = FrozenBatchNorm(dtype=self.dtype, name="ds_bn")(identity)
-        return nn.relu(out + identity)
+        out = out + identity
+        if self.rfp_in and rfp_feat is not None:
+            # zero-init 1x1 RFP injection (reference
+            # detectors_resnet.py:50-57,105-107)
+            out = out + nn.Conv(
+                self.planes * self.expansion, (1, 1), dtype=self.dtype,
+                kernel_init=nn.initializers.zeros,
+                name="rfp_conv")(rfp_feat).astype(out.dtype)
+        return nn.relu(out)
 
 
 class Bottle2neck(nn.Module):

@@ -29,7 +29,8 @@ def build_detector(cfg, train_cfg=None, test_cfg=None, compute_dtype=None,
     from .detectors.two_stage import DynamicRCNN, FastRCNN, RPN
     from .detectors.single_stage import (ATSS, CornerNet, FCOS, FSAF,
                                          FoveaBox, FreeAnchor, GFL,
-                                         RepPointsDetector, RetinaNet, SSD)
+                                         NASFCOS, RepPointsDetector,
+                                         RetinaNet, SSD)
     from .detectors.cascade_rcnn import CascadeRCNN
     from .detectors.grid_rcnn import GridRCNN
     from .detectors.htc import HTC
@@ -43,7 +44,8 @@ def build_detector(cfg, train_cfg=None, test_cfg=None, compute_dtype=None,
                 "DynamicRCNN": DynamicRCNN,
                 "CascadeRCNN": CascadeRCNN, "HTC": HTC,
                 "GridRCNN": GridRCNN, "PointRend": PointRend,
-                "CornerNet": CornerNet, "RPN": RPN, "FastRCNN": FastRCNN}
+                "CornerNet": CornerNet, "RPN": RPN, "FastRCNN": FastRCNN,
+                "NASFCOS": NASFCOS}
     registry.update(DETECTORS.module_dict)
     cfg = _plain(dict(cfg))
     det_type = cfg.pop("type")

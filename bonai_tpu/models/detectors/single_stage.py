@@ -1010,3 +1010,46 @@ class CornerNet(nn.Module):
                     scale_factor)[:, None, None],
                 "det_scores": det_scores, "det_labels": det_labels,
                 "det_valid": det_valid}
+
+
+class NASFCOS(FCOS):
+    """NAS-FCOS (reference ``mmdet/models/detectors/nasfcos.py``): FCOS
+    with the searched NASFCOS_FPN merge-cell neck and the searched
+    dconv/conv head towers; losses and decode are FCOS's."""
+
+    def setup(self):
+        from ..dense_heads.nasfcos_head import NASFCOSHead
+        from ..necks.nasfcos_fpn import NASFCOS_FPN
+        dt = _dtype(self.compute_dtype)
+        bk = dict(self.backbone)
+        bk.pop("type", None)
+        self.backbone_m = ResNet(
+            depth=bk.get("depth", 50),
+            base_channels=bk.get("base_channels", 64),
+            out_indices=tuple(bk.get("out_indices", (0, 1, 2, 3))),
+            frozen_stages=bk.get("frozen_stages", -1), dtype=dt,
+            name="backbone")
+        nk = dict(self.neck)
+        self.neck_m = NASFCOS_FPN(
+            in_channels=tuple(nk.get("in_channels", (256, 512, 1024, 2048))),
+            out_channels=nk.get("out_channels", 256),
+            num_outs=nk.get("num_outs", 5),
+            start_level=nk.get("start_level", 1),
+            dtype=dt, name="neck")
+        bh = dict(self.bbox_head)
+        self.num_classes = bh.get("num_classes", 1)
+        self.strides = tuple(bh.get("strides", (8, 16, 32, 64, 128)))
+        self.regress_ranges = tuple(
+            tuple(r) for r in bh.get("regress_ranges",
+                                     ((-1, 64), (64, 128), (128, 256),
+                                      (256, 512), (512, INF_RANGE))))
+        self.head_m = NASFCOSHead(
+            num_classes=self.num_classes,
+            in_channels=bh.get("in_channels", 256),
+            feat_channels=bh.get("feat_channels", 256),
+            num_levels=nk.get("num_outs", 5),
+            centerness_on_reg=bh.get("centerness_on_reg", False),
+            dtype=dt, name="bbox_head")
+        lc = dict(bh.get("loss_cls", {}))
+        self.focal_gamma = lc.get("gamma", 2.0)
+        self.focal_alpha = lc.get("alpha", 0.25)

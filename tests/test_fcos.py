@@ -112,3 +112,57 @@ def test_fcos_simple_test_shapes(fcos_run):
     assert np.all(np.isfinite(bx))
     v = np.asarray(out["det_valid"])
     assert (bx[v][:, 2] >= bx[v][:, 0]).all() if v.any() else True
+
+
+def test_nasfcos_forward_train_and_test():
+    """NAS-FCOS: searched FPN cells + dconv towers (reference
+    ``mmdet/models/detectors/nasfcos.py``)."""
+    from bonai_tpu.models import build_detector
+    m = build_detector(
+        dict(type="NASFCOS",
+             backbone=dict(type="ResNet", depth=18, base_channels=8),
+             neck=dict(type="NASFCOS_FPN", in_channels=[8, 16, 32, 64],
+                       out_channels=16, start_level=1, num_outs=5),
+             bbox_head=dict(num_classes=1, in_channels=16,
+                            feat_channels=32,
+                            strides=[8, 16, 32, 64, 128])),
+        dict(), dict(nms_pre=100, score_thr=0.05,
+                     nms=dict(type="nms", iou_threshold=0.6),
+                     max_per_img=10))
+    batch = _batch() if "_batch" in dir() else None
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    r = np.random.RandomState(0)
+    size, b, g = 64, 2, 3
+    xy1 = r.uniform(0, size * 0.4, (b, g, 2)).astype(np.float32)
+    wh = r.uniform(12, size * 0.4, (b, g, 2)).astype(np.float32)
+    batch = dict(
+        image=jnp.asarray(r.randn(b, size, size, 3), jnp.float32),
+        img_shape=jnp.full((b, 2), float(size)),
+        gt_bboxes=jnp.asarray(
+            np.concatenate([xy1, np.minimum(xy1 + wh, size - 1)], -1)),
+        gt_labels=jnp.zeros((b, g), jnp.int32),
+        gt_valid=jnp.ones((b, g), bool))
+    v = m.init({"params": jax.random.PRNGKey(0)}, batch,
+               method="forward_train")
+    assert "neck" in v["params"] and "c61" in v["params"]["neck"]
+
+    def total(params):
+        losses = m.apply(
+            {"params": params, "batch_stats": v.get("batch_stats", {})},
+            batch, method="forward_train")
+        return sum(jnp.asarray(x, jnp.float32)
+                   for k, x in losses.items() if k.startswith("loss"))
+
+    val, grads = jax.value_and_grad(total)(v["params"])
+    assert np.isfinite(float(val)) and float(val) > 0
+    gn = float(jnp.sqrt(sum(jnp.sum(x.astype(jnp.float32) ** 2)
+                            for x in jax.tree_util.tree_leaves(
+                                grads["bbox_head"]))))
+    assert np.isfinite(gn) and gn > 0
+    out = m.apply({"params": v["params"],
+                   "batch_stats": v.get("batch_stats", {})},
+                  batch["image"], batch["img_shape"], jnp.ones((2,)),
+                  method="simple_test")
+    assert out["det_bboxes"].shape == (2, 10, 4)
