@@ -230,10 +230,14 @@ class ResNet(nn.Module):
     avg_down: bool = False     # avgpool+1x1 downsample shortcuts
     dcn: Any = None            # truthy: DCNv2 conv2 in selected stages
     stage_with_dcn: Sequence[bool] = (False, False, False, False)
+    sac: Any = None            # truthy: SAC conv2 (DetectoRS)
+    stage_with_sac: Sequence[bool] = (False, False, False, False)
+    output_img: bool = False   # prepend the input image (RFP consumes it)
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, rfp_feats=None):
+        img = x
         block_name, stage_blocks = ARCH_SETTINGS[self.depth]
         block_cls = Bottleneck if block_name == "bottleneck" else BasicBlock
         if self.scales > 1 and block_cls is Bottleneck:
@@ -284,14 +288,29 @@ class ResNet(nn.Module):
                     kwargs.update(
                         groups=self.groups, base_width=self.base_width,
                         dcn=bool(self.dcn)
-                        and bool(self.stage_with_dcn[stage]))
-                x = block_cls(**kwargs)(x)
+                        and bool(self.stage_with_dcn[stage]),
+                        sac=bool(self.sac)
+                        and bool(self.stage_with_sac[stage]))
+                # RFP feature injected into each stage's first block
+                # (reference detectors_resnet.py ResLayer: rfp_inplanes
+                # only on block 0, stages > 0)
+                rfp_here = (rfp_feats is not None and b == 0 and stage > 0
+                            and block_cls is Bottleneck)
+                if rfp_here:
+                    kwargs.update(rfp_in=True)
+                    x = block_cls(**kwargs)(x, rfp_feats[stage])
+                else:
+                    x = block_cls(**kwargs)(x)
             if self.frozen_stages >= stage + 1:
                 x = jax.lax.stop_gradient(x)
             if stage in self.out_indices:
                 outs.append(x)
             in_ch = planes * expansion
             planes *= 2
+        if self.output_img:
+            # DetectoRS: RFP needs the raw image to re-run its own
+            # backbone copies (reference detectors_resnet.py:281-287)
+            return tuple([img] + outs)
         return tuple(outs)
 
 

@@ -40,14 +40,26 @@ class RetinaNet(nn.Module):
             frozen_stages=bk.get("frozen_stages", -1), dtype=dt,
             name="backbone")
         nk = dict(self.neck)
-        nk.pop("type", None)
-        self.neck_m = FPN(
-            in_channels=tuple(nk.get("in_channels", (256, 512, 1024, 2048))),
-            out_channels=nk.get("out_channels", 256),
-            num_outs=nk.get("num_outs", 5),
-            start_level=nk.get("start_level", 1),
-            add_extra_convs=bool(nk.get("add_extra_convs", False)),
-            dtype=dt, name="neck")
+        nk_type = nk.pop("type", "FPN")
+        if nk_type == "NASFPN":
+            from ..necks.nas_fpn import NASFPN
+            self.neck_m = NASFPN(
+                in_channels=tuple(nk.get("in_channels",
+                                         (512, 1024, 2048))),
+                out_channels=nk.get("out_channels", 256),
+                num_outs=nk.get("num_outs", 5),
+                stack_times=nk.get("stack_times", 7),
+                start_level=nk.get("start_level", 0),
+                dtype=dt, name="neck")
+        else:
+            self.neck_m = FPN(
+                in_channels=tuple(nk.get("in_channels",
+                                         (256, 512, 1024, 2048))),
+                out_channels=nk.get("out_channels", 256),
+                num_outs=nk.get("num_outs", 5),
+                start_level=nk.get("start_level", 1),
+                add_extra_convs=bool(nk.get("add_extra_convs", False)),
+                dtype=dt, name="neck")
         bh = dict(self.bbox_head)
         ag = dict(bh.get("anchor_generator", dict(
             octave_base_scale=4, scales_per_octave=3,

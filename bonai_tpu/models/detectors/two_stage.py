@@ -157,7 +157,8 @@ class TwoStageDetector(nn.Module):
                 frozen_stages=bk.get("frozen_stages", -1),
                 dtype=dt, name="backbone")
         else:
-            assert bk_type in ("ResNet", "ResNeXt", "Res2Net"), \
+            assert bk_type in ("ResNet", "ResNeXt", "Res2Net",
+                               "DetectoRS_ResNet"), \
                 f"unsupported backbone {bk_type}"
             res2 = bk_type == "Res2Net"
             self.backbone_m = ResNet(
@@ -174,6 +175,10 @@ class TwoStageDetector(nn.Module):
                 deep_stem=bk.get("deep_stem", res2),
                 avg_down=bk.get("avg_down", res2),
                 dcn=bk.get("dcn"),
+                sac=bk.get("sac"),
+                stage_with_sac=tuple(bk.get("stage_with_sac",
+                                            (False,) * 4)),
+                output_img=bk.get("output_img", False),
                 stage_with_dcn=tuple(bk.get("stage_with_dcn",
                                             (False,) * 4)),
                 dtype=dt, name="backbone")
@@ -214,6 +219,19 @@ class TwoStageDetector(nn.Module):
                 num_outs=nk.get("num_outs", 5),
                 start_level=nk.get("start_level", 0),
                 add_extra_convs=bool(nk.get("add_extra_convs", False)),
+                dtype=dt, name="neck")
+        elif nk_type == "RFP":
+            from ..necks.rfp import RFP
+            self.neck_m = RFP(
+                in_channels=tuple(nk.get("in_channels",
+                                         (256, 512, 1024, 2048))),
+                out_channels=nk.get("out_channels", 256),
+                num_outs=nk.get("num_outs", 5),
+                rfp_steps=nk.get("rfp_steps", 2),
+                rfp_backbone=nk.get("rfp_backbone"),
+                aspp_out_channels=nk.get("aspp_out_channels", 64),
+                aspp_dilations=tuple(nk.get("aspp_dilations",
+                                            (1, 3, 6, 1))),
                 dtype=dt, name="neck")
         else:
             assert nk_type == "FPN", f"unsupported neck {nk_type}"

@@ -19,6 +19,7 @@ from typing import Any
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 class SAConv2d(nn.Module):
@@ -39,10 +40,22 @@ class SAConv2d(nn.Module):
             (k, k, cin, self.features), jnp.float32)
         weight_diff = self.param("weight_diff", nn.initializers.zeros,
                                  w.shape, jnp.float32)
-        # AWS: standardise over (kh, kw, cin) per output channel
+        # AWS: standardise over (kh, kw, cin) per output channel, then a
+        # learnable per-channel affine (mmcv ConvAWS2d weight_gamma/
+        # weight_beta).  mmcv recalibrates gamma/beta from pretrained
+        # weight stats at load time; from scratch we init gamma at the
+        # kaiming std so the op starts at conventional scale (gamma=1
+        # would mean unit-std weights -> ~k^2*cin x activation variance,
+        # which explodes without trainable BN).
+        fan_out_std = float(np.sqrt(2.0 / (k * k * self.features)))
+        gamma = self.param("weight_gamma",
+                           nn.initializers.constant(fan_out_std),
+                           (1, 1, 1, self.features), jnp.float32)
+        beta = self.param("weight_beta", nn.initializers.zeros,
+                          (1, 1, 1, self.features), jnp.float32)
         mean = jnp.mean(w, axis=(0, 1, 2), keepdims=True)
         std = jnp.std(w, axis=(0, 1, 2), keepdims=True) + 1e-5
-        w_std = (w - mean) / std
+        w_std = (w - mean) / std * gamma + beta
 
         # pre-context (zero-init: starts as identity)
         gap = jnp.mean(x, axis=(1, 2), keepdims=True)

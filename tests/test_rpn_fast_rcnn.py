@@ -157,3 +157,41 @@ def test_libra_bfp_and_balanced_l1():
     gn = float(jnp.sqrt(sum(jnp.sum(x.astype(jnp.float32) ** 2)
                             for x in jax.tree_util.tree_leaves(g))))
     assert np.isfinite(gn)
+
+
+def test_nasfpn_retinanet():
+    """NAS-FPN stacked merge cells under RetinaNet (reference
+    configs/nas_fpn)."""
+    m = build_detector(
+        dict(type="RetinaNet", backbone=BACKBONE,
+             neck=dict(type="NASFPN", in_channels=[16, 32, 64],
+                       out_channels=16, num_outs=5, stack_times=2,
+                       start_level=0),
+             bbox_head=dict(num_classes=1, in_channels=16,
+                            feat_channels=16,
+                            anchor_generator=dict(
+                                octave_base_scale=4, scales_per_octave=3,
+                                ratios=[0.5, 1.0, 2.0],
+                                strides=[8, 16, 32, 64, 128]))),
+        dict(assigner=dict(pos_iou_thr=0.5, neg_iou_thr=0.4,
+                           min_pos_iou=0.0)),
+        dict(nms_pre=100, score_thr=0.05,
+             nms=dict(type="nms", iou_threshold=0.5), max_per_img=10))
+    batch = _batch()
+    v = m.init({"params": jax.random.PRNGKey(0)}, batch,
+               method="forward_train")
+    assert "s1_gp_75_6" in v["params"]["neck"]
+
+    def total(params):
+        losses = m.apply(
+            {"params": params, "batch_stats": v.get("batch_stats", {})},
+            batch, method="forward_train")
+        return sum(jnp.asarray(x, jnp.float32)
+                   for k, x in losses.items() if k.startswith("loss"))
+
+    val, grads = jax.value_and_grad(total)(v["params"])
+    assert np.isfinite(float(val)) and float(val) > 0
+    gn = float(jnp.sqrt(sum(jnp.sum(x.astype(jnp.float32) ** 2)
+                            for x in jax.tree_util.tree_leaves(
+                                grads["neck"]))))
+    assert np.isfinite(gn) and gn > 0
