@@ -220,6 +220,19 @@ class TwoStageDetector(nn.Module):
                 start_level=nk.get("start_level", 0),
                 add_extra_convs=bool(nk.get("add_extra_convs", False)),
                 dtype=dt, name="neck")
+        elif nk_type == "FPN_CARAFE":
+            from ..necks.fpn_carafe import FPN_CARAFE
+            up = dict(nk.get("upsample_cfg") or {})
+            self.neck_m = FPN_CARAFE(
+                in_channels=tuple(nk.get("in_channels",
+                                         (256, 512, 1024, 2048))),
+                out_channels=nk.get("out_channels", 256),
+                num_outs=nk.get("num_outs", 5),
+                start_level=nk.get("start_level", 0),
+                up_kernel=up.get("up_kernel", 5),
+                encoder_kernel=up.get("encoder_kernel", 3),
+                encoder_dilation=up.get("encoder_dilation", 1),
+                dtype=dt, name="neck")
         elif nk_type == "RFP":
             from ..necks.rfp import RFP
             self.neck_m = RFP(
