@@ -21,7 +21,10 @@ DATASETS = Registry("dataset")
 def _register_defaults():
     from .coco import CocoDataset
     from .bonai import BONAI
-    for cls in (CocoDataset, BONAI):
+    from .extra import (CityscapesDataset, LVISDataset, VOCDataset,
+                        WIDERFaceDataset, XMLDataset)
+    for cls in (CocoDataset, BONAI, VOCDataset, XMLDataset, LVISDataset,
+                CityscapesDataset, WIDERFaceDataset):
         if cls.__name__ not in DATASETS:
             DATASETS.register_module(module=cls)
 
