@@ -82,6 +82,29 @@ class Bottleneck(nn.Module):
                              # reference detectors_resnet.py ``sac=``)
     rfp_in: bool = False     # accept an RFP feature (zero-init 1x1 add,
                              # reference detectors_resnet.py rfp_forward)
+    plugins: Any = None      # ((type, kwargs, position), ...) — GCNet /
+                             # empirical-attention blocks (reference
+                             # resnet.py ``plugins=`` / forward_plugin)
+
+    def _plugin(self, out, position, idx_base):
+        for i, (ptype, kwargs, pos) in enumerate(self.plugins or ()):
+            if pos != position:
+                continue
+            name = f"{position}_plugin{i}"
+            kw = dict(kwargs)
+            if ptype == "ContextBlock":
+                from ...ops.layers import ContextBlock
+                out = ContextBlock(dtype=self.dtype, name=name, **kw)(out)
+            elif ptype == "GeneralizedAttention":
+                from ...ops.layers import GeneralizedAttention
+                out = GeneralizedAttention(dtype=self.dtype, name=name,
+                                           **kw)(out)
+            elif ptype == "NonLocal2d":
+                from ...ops.layers import NonLocal2d
+                out = NonLocal2d(dtype=self.dtype, name=name, **kw)(out)
+            else:
+                raise KeyError(f"unknown plugin {ptype}")
+        return out
 
     @nn.compact
     def __call__(self, x, rfp_feat=None):
@@ -94,6 +117,7 @@ class Bottleneck(nn.Module):
         out = conv(width, 1, 1, 0, "conv1", self.dtype)(x)
         out = FrozenBatchNorm(dtype=self.dtype, name="bn1")(out)
         out = nn.relu(out)
+        out = self._plugin(out, "after_conv1", 0)
         if self.dcn:
             from ...ops.deform_conv import ModulatedDeformConv2d
             out = ModulatedDeformConv2d(
@@ -110,9 +134,11 @@ class Bottleneck(nn.Module):
                        groups=self.groups)(out)
         out = FrozenBatchNorm(dtype=self.dtype, name="bn2")(out)
         out = nn.relu(out)
+        out = self._plugin(out, "after_conv2", 0)
         out = conv(self.planes * self.expansion, 1, 1, 0, "conv3",
                    self.dtype)(out)
         out = FrozenBatchNorm(dtype=self.dtype, name="bn3")(out)
+        out = self._plugin(out, "after_conv3", 0)
         if self.downsample:
             identity = conv(self.planes * self.expansion, 1, self.stride, 0,
                             "ds_conv", self.dtype)(x)
@@ -233,7 +259,24 @@ class ResNet(nn.Module):
     sac: Any = None            # truthy: SAC conv2 (DetectoRS)
     stage_with_sac: Sequence[bool] = (False, False, False, False)
     output_img: bool = False   # prepend the input image (RFP consumes it)
+    plugins: Any = None        # mmdet plugin specs: [{cfg, stages,
+                               #  position}] (GCNet / empirical attention)
     dtype: Any = jnp.float32
+
+    def _stage_plugins(self, stage):
+        """Resolve mmdet plugin specs for one stage into the static
+        Bottleneck tuple format (reference ``make_stage_plugins``)."""
+        out = []
+        for spec in (self.plugins or ()):
+            spec = dict(spec)
+            stages = spec.get("stages")
+            if stages is not None and not stages[stage]:
+                continue
+            cfg = dict(spec.get("cfg", {}))
+            ptype = cfg.pop("type")
+            out.append((ptype, tuple(sorted(cfg.items())),
+                        spec.get("position", "after_conv3")))
+        return tuple(out)
 
     @nn.compact
     def __call__(self, x, rfp_feats=None):
@@ -290,7 +333,8 @@ class ResNet(nn.Module):
                         dcn=bool(self.dcn)
                         and bool(self.stage_with_dcn[stage]),
                         sac=bool(self.sac)
-                        and bool(self.stage_with_sac[stage]))
+                        and bool(self.stage_with_sac[stage]),
+                        plugins=self._stage_plugins(stage))
                 # RFP feature injected into each stage's first block
                 # (reference detectors_resnet.py ResLayer: rfp_inplanes
                 # only on block 0, stages > 0)

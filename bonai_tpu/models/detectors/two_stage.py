@@ -175,6 +175,7 @@ class TwoStageDetector(nn.Module):
                 deep_stem=bk.get("deep_stem", res2),
                 avg_down=bk.get("avg_down", res2),
                 dcn=bk.get("dcn"),
+                plugins=bk.get("plugins"),
                 sac=bk.get("sac"),
                 stage_with_sac=tuple(bk.get("stage_with_sac",
                                             (False,) * 4)),

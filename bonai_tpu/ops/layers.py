@@ -184,6 +184,8 @@ class GeneralizedAttention(nn.Module):
     q_stride: int = 1
     position_magnitude: int = 1
     position_embedding_dim: int = -1
+    spatial_range: int = -1   # config parity; the dense TPU attention
+                              # needs no locality bound (see TPU note)
     dtype: Any = jnp.float32
 
     @nn.compact

@@ -157,3 +157,26 @@ def test_pafpn_structure():
     for i in range(3):
         assert f"downsample_{i}" in p and f"pafpn_{i}" in p
     assert all(np.isfinite(np.asarray(o)).all() for o in outs)
+
+
+def test_resnet_stage_plugins_gcb():
+    """GCNet ContextBlock plugin after conv3 of stages 2-4 (reference
+    resnet.py ``plugins=`` / configs/gcnet)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from bonai_tpu.models.backbones.resnet import ResNet
+    m = ResNet(depth=50, base_channels=8, frozen_stages=-1,
+               plugins=[dict(cfg=dict(type="ContextBlock", ratio=0.25),
+                             stages=(False, True, True, True),
+                             position="after_conv3")])
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 64, 64, 3),
+                    jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x)
+    # stage 1 has no plugin; stages 2-4 do
+    assert "after_conv3_plugin0" not in v["params"]["layer1_0"]
+    assert "after_conv3_plugin0" in v["params"]["layer2_0"]
+    outs = m.apply(v, x)
+    assert len(outs) == 4 and outs[0].shape[-1] == 32
+    # zero-init fusion conv -> block starts as identity: outputs finite
+    assert all(bool(jnp.isfinite(o).all()) for o in outs)
