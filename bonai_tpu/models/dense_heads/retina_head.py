@@ -81,7 +81,11 @@ def retina_targets(anchors, gt_bboxes, gt_valid, gt_labels, num_classes,
 
 
 def retina_loss(cls_scores, bbox_preds, anchors_flat, gt_bboxes, gt_valid,
-                gt_labels, num_classes, train_cfg, gamma=2.0, alpha=0.25):
+                gt_labels, num_classes, train_cfg, gamma=2.0, alpha=0.25,
+                loss_cls_cfg=None, loss_bbox_cfg=None):
+    """``loss_cls_cfg``/``loss_bbox_cfg``: optional registry configs
+    replacing the focal / L1 defaults (GHM-C / GHM-R, reference
+    ``configs/ghm``)."""
     b = cls_scores[0].shape[0]
     cls_flat = jnp.concatenate(
         [s.reshape(b, -1, num_classes) for s in cls_scores],
@@ -93,9 +97,22 @@ def retina_loss(cls_scores, bbox_preds, anchors_flat, gt_bboxes, gt_valid,
             anchors_flat, gb, gv, gl, num_classes,
             dict(train_cfg["assigner"])))(gt_bboxes, gt_valid, gt_labels)
     total_pos = jnp.maximum(jnp.sum(npos), 1.0)
-    loss_cls = sigmoid_focal_loss(cls_flat, onehot, gamma, alpha,
-                                  cls_w[..., None], avg_factor=total_pos)
-    loss_bbox = l1_loss(reg_flat, bt, bw, avg_factor=total_pos)
+    if loss_cls_cfg:
+        from ..losses import build_loss
+        loss_cls = build_loss(dict(loss_cls_cfg))(
+            cls_flat, onehot,
+            jnp.broadcast_to(cls_w[..., None], cls_flat.shape),
+            avg_factor=total_pos)
+    else:
+        loss_cls = sigmoid_focal_loss(cls_flat, onehot, gamma, alpha,
+                                      cls_w[..., None],
+                                      avg_factor=total_pos)
+    if loss_bbox_cfg:
+        from ..losses import build_loss
+        loss_bbox = build_loss(dict(loss_bbox_cfg))(
+            reg_flat, bt, bw, avg_factor=total_pos)
+    else:
+        loss_bbox = l1_loss(reg_flat, bt, bw, avg_factor=total_pos)
     return {"loss_cls": loss_cls, "loss_bbox": loss_bbox}
 
 

@@ -77,6 +77,13 @@ class RetinaNet(nn.Module):
         lc = dict(bh.get("loss_cls", {}))
         self.focal_gamma = lc.get("gamma", 2.0)
         self.focal_alpha = lc.get("alpha", 0.25)
+        # non-default losses dispatch through the registry (GHM-C/GHM-R,
+        # reference configs/ghm)
+        self.loss_cls_cfg = lc if lc.get("type") not in (
+            None, "FocalLoss") else None
+        lb = dict(bh.get("loss_bbox", {}))
+        self.loss_bbox_cfg = lb if lb.get("type") not in (
+            None, "L1Loss", "SmoothL1Loss") else None
 
     def extract_feat(self, img):
         return self.neck_m(self.backbone_m(img))
@@ -97,7 +104,9 @@ class RetinaNet(nn.Module):
                            batch["gt_bboxes"], batch["gt_valid"],
                            batch["gt_labels"], self.num_classes,
                            dict(self.train_cfg), gamma=self.focal_gamma,
-                           alpha=self.focal_alpha)
+                           alpha=self.focal_alpha,
+                           loss_cls_cfg=self.loss_cls_cfg,
+                           loss_bbox_cfg=self.loss_bbox_cfg)
 
     def simple_test(self, img, img_shape, scale_factor):
         feats = self.extract_feat(img)

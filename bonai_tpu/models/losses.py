@@ -227,6 +227,37 @@ class GHMC:
 
 
 @LOSSES.register_module()
+class GHMR:
+    """Gradient-harmonizing regression loss (reference
+    ``mmdet/models/losses/ghm_loss.py`` GHMR): authentic smooth L1
+    ``sqrt(d^2 + mu^2) - mu`` whose per-element weight is the inverse
+    density of the gradient norm ``d / sqrt(d^2 + mu^2)``."""
+
+    def __init__(self, mu=0.02, bins=10, momentum=0.0, loss_weight=1.0):
+        self.mu = mu
+        self.bins = bins
+        self.loss_weight = loss_weight
+
+    def __call__(self, pred, target, weight=None, avg_factor=None):
+        mu = self.mu
+        diff = pred - target
+        loss = jnp.sqrt(diff * diff + mu * mu) - mu
+        g = jnp.abs(diff / jnp.sqrt(diff * diff + mu * mu))
+        valid = (jnp.ones_like(loss) if weight is None
+                 else (weight > 0).astype(loss.dtype))
+        tot = jnp.maximum(jnp.sum(valid), 1.0)
+        edges = jnp.linspace(0, 1, self.bins + 1)
+        w = jnp.zeros_like(loss)
+        for i in range(self.bins):
+            hi = edges[i + 1] + (1e-6 if i == self.bins - 1 else 0.0)
+            inds = (g >= edges[i]) & (g < hi) & (valid > 0)
+            n_in = jnp.sum(inds)
+            bin_w = jnp.where(n_in > 0, tot / jnp.maximum(n_in, 1.0), 0.0)
+            w = jnp.where(inds, bin_w, w)
+        return self.loss_weight * jnp.sum(loss * w) / tot
+
+
+@LOSSES.register_module()
 class IoULoss:
     def __init__(self, eps=1e-6, reduction="mean", loss_weight=1.0,
                  linear=False):

@@ -195,3 +195,42 @@ def test_nasfpn_retinanet():
                             for x in jax.tree_util.tree_leaves(
                                 grads["neck"]))))
     assert np.isfinite(gn) and gn > 0
+
+
+def test_retinanet_ghm_losses():
+    """GHM-C / GHM-R dispatch in the retina loss (reference
+    configs/ghm)."""
+    m = build_detector(
+        dict(type="RetinaNet", backbone=BACKBONE,
+             neck=dict(type="FPN", in_channels=[8, 16, 32, 64],
+                       out_channels=16, num_outs=5, start_level=1),
+             bbox_head=dict(num_classes=1, in_channels=16,
+                            feat_channels=16,
+                            anchor_generator=dict(
+                                octave_base_scale=4, scales_per_octave=3,
+                                ratios=[0.5, 1.0, 2.0],
+                                strides=[8, 16, 32, 64, 128]),
+                            loss_cls=dict(type="GHMC", bins=10,
+                                          use_sigmoid=True,
+                                          loss_weight=1.0),
+                            loss_bbox=dict(type="GHMR", mu=0.02, bins=10,
+                                           loss_weight=10.0))),
+        dict(assigner=dict(pos_iou_thr=0.5, neg_iou_thr=0.4,
+                           min_pos_iou=0.0)),
+        dict(nms_pre=100, score_thr=0.05,
+             nms=dict(type="nms", iou_threshold=0.5), max_per_img=10))
+    batch = _batch()
+    v = m.init({"params": jax.random.PRNGKey(0)}, batch,
+               method="forward_train")
+
+    def total(params):
+        losses = m.apply(
+            {"params": params, "batch_stats": v.get("batch_stats", {})},
+            batch, method="forward_train")
+        return sum(jnp.asarray(x, jnp.float32) for x in losses.values())
+
+    val, grads = jax.value_and_grad(total)(v["params"])
+    assert np.isfinite(float(val)) and float(val) > 0
+    gn = float(jnp.sqrt(sum(jnp.sum(x.astype(jnp.float32) ** 2)
+                            for x in jax.tree_util.tree_leaves(grads))))
+    assert np.isfinite(gn) and gn > 0
