@@ -75,3 +75,24 @@ def test_wider_and_registry():
     assert WIDERFaceDataset.CLASSES == ("face",)
     assert len(CityscapesDataset.CLASSES) == 8
     assert issubclass(LVISDataset, object)
+
+
+def test_pascal_voc_converter(tmp_path):
+    """tools/convert_datasets/pascal_voc.py -> CocoDataset roundtrip."""
+    import subprocess
+    import sys
+    root = str(tmp_path / "VOC2007")
+    split = _make_voc(root)
+    out = str(tmp_path / "voc.json")
+    r = subprocess.run(
+        [sys.executable, "tools/convert_datasets/pascal_voc.py",
+         root, split, out], capture_output=True, text=True, timeout=60)
+    assert r.returncode == 0, r.stderr
+    ds = build_dataset(dict(
+        type="CocoDataset", ann_file=out, img_prefix=root,
+        pipeline=[dict(type="LoadImageFromFile"),
+                  dict(type="LoadAnnotations", with_bbox=True)]))
+    assert len(ds) == 3
+    ann = ds.get_ann_info(0)
+    assert ann["bboxes"].shape == (2, 4)       # unicorn dropped
+    assert ds.CLASSES[ann["labels"][0]] == "dog"
