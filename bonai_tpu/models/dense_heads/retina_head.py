@@ -76,27 +76,82 @@ def retina_targets(anchors, gt_bboxes, gt_valid, gt_labels, num_classes,
     cls_w = (assigned >= 0).astype(jnp.float32)
     deltas = bbox2delta(anchors, gt_bboxes[matched])
     reg_w = is_pos.astype(jnp.float32)[:, None]
-    return onehot, cls_w, deltas * reg_w, jnp.broadcast_to(reg_w, deltas.shape), \
-        jnp.sum(is_pos.astype(jnp.float32))
+    aux = dict(is_pos=is_pos, matched=matched,
+               labels=gt_labels[matched],
+               gt_boxes=gt_bboxes[matched])
+    return (onehot, cls_w, deltas * reg_w,
+            jnp.broadcast_to(reg_w, deltas.shape),
+            jnp.sum(is_pos.astype(jnp.float32)), aux)
 
 
 def retina_loss(cls_scores, bbox_preds, anchors_flat, gt_bboxes, gt_valid,
                 gt_labels, num_classes, train_cfg, gamma=2.0, alpha=0.25,
-                loss_cls_cfg=None, loss_bbox_cfg=None):
+                loss_cls_cfg=None, loss_bbox_cfg=None, pisa_cfg=None):
     """``loss_cls_cfg``/``loss_bbox_cfg``: optional registry configs
     replacing the focal / L1 defaults (GHM-C / GHM-R, reference
-    ``configs/ghm``)."""
+    ``configs/ghm``).  ``pisa_cfg``: ``dict(isr=..., carl=...)`` applies
+    ISR-P cls reweighting and the CARL regression term over all-anchor
+    targets (reference ``pisa_retinanet_head.py:24-93``)."""
     b = cls_scores[0].shape[0]
     cls_flat = jnp.concatenate(
         [s.reshape(b, -1, num_classes) for s in cls_scores],
         axis=1).astype(jnp.float32)
     reg_flat = jnp.concatenate(
         [r.reshape(b, -1, 4) for r in bbox_preds], axis=1).astype(jnp.float32)
-    onehot, cls_w, bt, bw, npos = jax.vmap(
+    onehot, cls_w, bt, bw, npos, aux = jax.vmap(
         lambda gb, gv, gl: retina_targets(
             anchors_flat, gb, gv, gl, num_classes,
             dict(train_cfg["assigner"])))(gt_bboxes, gt_valid, gt_labels)
     total_pos = jnp.maximum(jnp.sum(npos), 1.0)
+    extra = {}
+    if pisa_cfg:
+        from ..losses import carl_loss, isr_p
+        b_, a_ = cls_flat.shape[:2]
+        G = gt_bboxes.shape[1]
+        pos_mask = aux["is_pos"].reshape(-1)
+        labels_f = aux["labels"].reshape(-1)
+        # offset matched-gt ids per image so IoU-HLR groups don't mix
+        # instances across the batch
+        matched_f = (aux["matched"]
+                     + jnp.arange(b_)[:, None] * G).reshape(-1)
+        anc = jnp.broadcast_to(anchors_flat[None], (b_,) +
+                               anchors_flat.shape).reshape(-1, 4)
+        dec = delta2bbox(anc, reg_flat.reshape(-1, 4), (0.,) * 4,
+                         (1.,) * 4)
+        gtb = aux["gt_boxes"].reshape(-1, 4)
+        ix1 = jnp.maximum(dec[:, 0], gtb[:, 0])
+        iy1 = jnp.maximum(dec[:, 1], gtb[:, 1])
+        ix2 = jnp.minimum(dec[:, 2], gtb[:, 2])
+        iy2 = jnp.minimum(dec[:, 3], gtb[:, 3])
+        inter = jnp.clip(ix2 - ix1, 0) * jnp.clip(iy2 - iy1, 0)
+
+        def _area(v):
+            return jnp.clip(v[:, 2] - v[:, 0], 0) * \
+                jnp.clip(v[:, 3] - v[:, 1], 0)
+
+        ious = inter / jnp.maximum(_area(dec) + _area(gtb) - inter, 1e-6)
+        isr = dict(pisa_cfg.get("isr") or {})
+        cls_w_f = cls_w.reshape(-1)
+        if isr:
+            focal_raw = jax.lax.stop_gradient(sigmoid_focal_loss(
+                cls_flat, onehot, gamma, alpha,
+                reduction="none")).sum(-1).reshape(-1)
+            cls_w_f = isr_p(cls_w_f, ious, pos_mask, labels_f, matched_f,
+                            jnp.where(pos_mask, focal_raw, 0.0),
+                            k=isr.get("k", 2.0), bias=isr.get("bias", 0.0))
+            cls_w = cls_w_f.reshape(b_, a_)
+        carl = dict(pisa_cfg.get("carl") or {})
+        if carl:
+            prob = jax.nn.sigmoid(cls_flat).reshape(-1, num_classes)
+            pos_prob = jnp.take_along_axis(
+                prob, jnp.clip(labels_f, 0, num_classes - 1)[:, None],
+                axis=1)[:, 0]
+            reg_raw = jnp.abs(reg_flat.reshape(-1, 4)
+                              - bt.reshape(-1, 4)) * \
+                bw.reshape(-1, 4)
+            extra["loss_carl"] = carl.get("loss_weight", 5.0) * carl_loss(
+                pos_prob, pos_mask, reg_raw, k=carl.get("k", 1.0),
+                bias=carl.get("bias", 0.2), avg_factor=total_pos)
     if loss_cls_cfg:
         from ..losses import build_loss
         loss_cls = build_loss(dict(loss_cls_cfg))(
@@ -113,7 +168,7 @@ def retina_loss(cls_scores, bbox_preds, anchors_flat, gt_bboxes, gt_valid,
             reg_flat, bt, bw, avg_factor=total_pos)
     else:
         loss_bbox = l1_loss(reg_flat, bt, bw, avg_factor=total_pos)
-    return {"loss_cls": loss_cls, "loss_bbox": loss_bbox}
+    return {"loss_cls": loss_cls, "loss_bbox": loss_bbox, **extra}
 
 
 def retina_bboxes_single(cls_scores, bbox_preds, anchors_levels, img_shape,

@@ -100,13 +100,17 @@ class RetinaNet(nn.Module):
         feats = self.extract_feat(batch["image"])
         cls_scores, bbox_preds = self.head_m(feats)
         anchors_flat = jnp.concatenate(self._anchors(feats), axis=0)
+        tc = dict(self.train_cfg)
+        # PISA (reference configs/pisa: train_cfg carries isr/carl)
+        pisa = {k: tc[k] for k in ("isr", "carl") if tc.get(k)} or None
         return retina_loss(cls_scores, bbox_preds, anchors_flat,
                            batch["gt_bboxes"], batch["gt_valid"],
                            batch["gt_labels"], self.num_classes,
-                           dict(self.train_cfg), gamma=self.focal_gamma,
+                           tc, gamma=self.focal_gamma,
                            alpha=self.focal_alpha,
                            loss_cls_cfg=self.loss_cls_cfg,
-                           loss_bbox_cfg=self.loss_bbox_cfg)
+                           loss_bbox_cfg=self.loss_bbox_cfg,
+                           pisa_cfg=pisa)
 
     def simple_test(self, img, img_shape, scale_factor):
         feats = self.extract_feat(img)

@@ -234,3 +234,40 @@ def test_retinanet_ghm_losses():
     gn = float(jnp.sqrt(sum(jnp.sum(x.astype(jnp.float32) ** 2)
                             for x in jax.tree_util.tree_leaves(grads))))
     assert np.isfinite(gn) and gn > 0
+
+
+def test_pisa_retinanet():
+    """ISR-P + CARL on the retina loss (reference
+    pisa_retinanet_head.py)."""
+    m = build_detector(
+        dict(type="RetinaNet", backbone=BACKBONE,
+             neck=dict(type="FPN", in_channels=[8, 16, 32, 64],
+                       out_channels=16, num_outs=5, start_level=1),
+             bbox_head=dict(num_classes=1, in_channels=16,
+                            feat_channels=16,
+                            anchor_generator=dict(
+                                octave_base_scale=4, scales_per_octave=3,
+                                ratios=[0.5, 1.0, 2.0],
+                                strides=[8, 16, 32, 64, 128]))),
+        dict(assigner=dict(pos_iou_thr=0.5, neg_iou_thr=0.4,
+                           min_pos_iou=0.0),
+             isr=dict(k=2.0, bias=0.0),
+             carl=dict(k=1.0, bias=0.2, loss_weight=5.0)),
+        dict(nms_pre=100, score_thr=0.05,
+             nms=dict(type="nms", iou_threshold=0.5), max_per_img=10))
+    batch = _batch()
+    v = m.init({"params": jax.random.PRNGKey(0)}, batch,
+               method="forward_train")
+
+    def total(params):
+        losses = m.apply(
+            {"params": params, "batch_stats": v.get("batch_stats", {})},
+            batch, method="forward_train")
+        assert "loss_carl" in losses
+        return sum(jnp.asarray(x, jnp.float32) for x in losses.values())
+
+    val, grads = jax.value_and_grad(total)(v["params"])
+    assert np.isfinite(float(val)) and float(val) > 0
+    gn = float(jnp.sqrt(sum(jnp.sum(x.astype(jnp.float32) ** 2)
+                            for x in jax.tree_util.tree_leaves(grads))))
+    assert np.isfinite(gn) and gn > 0
