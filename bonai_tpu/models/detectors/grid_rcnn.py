@@ -31,6 +31,13 @@ class GridRCNN(TwoStageDetector):
         self.grid_loss_weight = dict(gh.get("loss_grid", {})).get(
             "loss_weight", 15.0)
 
+    def _dummy_extra_heads(self, feats, rois):
+        """init-path hook: touch the grid head (only used inside
+        forward_train / _extra_simple_test otherwise)."""
+        gf = self._roi_align_cfg(self.grid_extractor_cfg, feats, rois,
+                                 None)
+        return [self.grid_head_m(gf, train=True)]
+
     def _extra_forward_train(self, feats, batch, rcnn, pos_boxes,
                              pos_is_pos, pos_gt, flat_pack=None):
         losses = dict(super()._extra_forward_train(

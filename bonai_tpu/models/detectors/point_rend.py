@@ -36,6 +36,19 @@ class PointRend(TwoStageDetector):
         self.point_stride = list(self.mask_extractor_cfg.get(
             "featmap_strides", [4]))[0]
 
+    def _dummy_extra_heads(self, feats, rois):
+        """init-path hook: touch the point head so ``model.init`` (via
+        forward_dummy, reference ``two_stage.py:87-103``) creates its
+        params — it otherwise only runs inside forward_train."""
+        mf = self._roi_align_cfg(self.mask_extractor_cfg, feats, rois,
+                                 None)
+        coarse = self.mask_head_m(mf)
+        rel = jnp.full((rois.shape[0], 4, 2), 0.5)
+        fine = fine_grained_point_feats(feats[0], rois, rel,
+                                        self.point_stride)
+        cp = self._point_coarse_sample(coarse, rel)
+        return [self.point_head_m(fine, cp)]
+
     def _point_coarse_sample(self, coarse_logits, rel_pts):
         """Sample per-class coarse logits at rel-RoI points -> (N, P, C)."""
         from ..roi_heads.point_head import bilinear_point_sample

@@ -133,3 +133,15 @@ def test_simple_test_refines_boxes():
     assert np.isfinite(bb).all()
     # boxes stay inside the image
     assert (bb >= -1e-3).all() and (bb <= 64 + 1e-3).all()
+
+
+def test_init_via_forward_dummy_covers_grid_head():
+    """Same init-path regression as PointRend: forward_dummy must touch
+    the grid head."""
+    m = build_detector(MODEL, TRAIN_CFG, TEST_CFG)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    assert "grid_head" in v["params"]
+    batch = _batch()
+    losses = m.apply(v, batch, method="forward_train",
+                     rngs={"sampling": jax.random.PRNGKey(2)})
+    assert "loss_grid" in losses

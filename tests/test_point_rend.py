@@ -176,3 +176,16 @@ def test_simple_test_subdivision_output():
     assert out["mask_probs"].shape == (2, 8, 28, 28)
     mp = np.asarray(out["mask_probs"])
     assert np.isfinite(mp).all() and (mp >= 0).all() and (mp <= 1).all()
+
+
+def test_init_via_forward_dummy_covers_point_head():
+    """apis/train.py initialises via __call__ (forward_dummy); the
+    point head must exist in that tree (regression: 50-step TPU train
+    failed with ScopeParamNotFoundError point_head/fc0)."""
+    m = build_detector(MODEL, TRAIN_CFG, TEST_CFG)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    assert "point_head" in v["params"]
+    batch = _batch()
+    losses = m.apply(v, batch, method="forward_train",
+                     rngs={"sampling": jax.random.PRNGKey(2)})
+    assert "loss_point" in losses
