@@ -663,9 +663,15 @@ class TwoStageDetector(nn.Module):
                 jax.lax.stop_gradient(cls_score.astype(jnp.float32)), -1)
             ce_raw = -jnp.take_along_axis(
                 logp, jnp.clip(labels_f, 0, nc)[:, None], axis=1)[:, 0]
+            # offset matched-gt ids per image (reference pisa_loss.py:
+            # 47-56 "merge pos_assigned_gt_inds ... + last_max_gt") so
+            # same-index instances of different images don't share an
+            # IoU-HLR group
+            n_gt = batch["gt_bboxes"].shape[1]
+            gt_global = (res["pos_gt_inds"]
+                         + jnp.arange(b)[:, None] * n_gt).reshape(n_tot)
             label_w_f = isr_p(
-                label_w_f, ious, pos_mask, labels_f,
-                res["pos_gt_inds"].reshape(n_tot),
+                label_w_f, ious, pos_mask, labels_f, gt_global,
                 jnp.where(pos_mask, ce_raw, 0.0),
                 k=isr_cfg.get("k", 2.0), bias=isr_cfg.get("bias", 0.0))
 
