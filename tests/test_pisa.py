@@ -90,3 +90,28 @@ def test_pisa_wiring_in_detector():
     for k_, v in losses.items():
         assert np.isfinite(float(v)), k_
     assert float(losses["loss_carl"]) > 0.0
+
+
+def test_isr_p_cross_image_instances_stay_separate():
+    """Same gt index in two different images must form two IoU-HLR
+    groups once ids are image-offset (reference pisa_loss.py:47-56;
+    regression for the flat-batch collision)."""
+    labels = jnp.asarray([0, 0, 0, 0], jnp.int32)
+    pos_mask = jnp.ones(4, bool)
+    # img A gt0: 0.8, 0.7 ; img B gt0: 0.6, 0.5
+    ious = jnp.asarray([0.8, 0.7, 0.6, 0.5])
+    lw = jnp.ones(4)
+    ce = jnp.ones(4)
+    # collided ids (pre-fix behaviour): one 4-sample group
+    collided = np.asarray(isr_p(lw, ious, pos_mask, labels,
+                                jnp.asarray([0, 0, 0, 0], jnp.int32), ce,
+                                k=1.0, bias=0.0))
+    # offset ids: two 2-sample groups -> B's best gets a top local rank
+    separate = np.asarray(isr_p(lw, ious, pos_mask, labels,
+                                jnp.asarray([0, 0, 5, 5], jnp.int32), ce,
+                                k=1.0, bias=0.0))
+    # with separate instances, each image's best sample shares the top
+    # local rank; sample 2 (img B best) must outrank sample 1 (img A 2nd)
+    assert separate[2] > separate[1]
+    # in the collided grouping sample 2 is merely 3rd of 4
+    assert collided[2] < collided[1]
