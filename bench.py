@@ -16,8 +16,8 @@ Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 import json
 import os
-import subprocess
 import sys
+import threading
 import time
 
 import numpy as np
@@ -25,37 +25,112 @@ import numpy as np
 BASELINE_IMG_PER_SEC = 3.5
 REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 
+# Wedge-recovery protocol (see .claude/skills/verify/SKILL.md): the tunneled
+# TPU claim wedges when a TPU-attached process is KILLED mid-claim, and every
+# additional killed short-timeout probe re-wedges it.  So this bench never
+# spawns throwaway probe subprocesses.  Instead:
+#   1. wait (without killing anything) for other live python processes that
+#      might hold the claim to exit;
+#   2. if a previous bench invocation recorded a wedge, let the tunnel sit
+#      untouched until >=8 minutes have passed since that marker;
+#   3. make ONE long-lived in-process init attempt with a generous internal
+#      deadline (watchdog thread, 900 s).  On timeout, record the wedge
+#      marker so the NEXT invocation waits out the claim, then exit 2 —
+#      a second driver invocation of bench.py is then expected to succeed.
+WEDGE_MARKER = "/tmp/bonai_bench_wedge_marker"
+INIT_DEADLINE_S = 900
+WEDGE_SETTLE_S = 480
 
-def _check_devices(attempts=(240, 300, 360), pause_s=30):
-    """The tunneled TPU platform can wedge (stale claim held by a killed
-    process); a fresh process re-attempts the claim and the stale one
-    expires after a few minutes.  So: probe ``jax.devices()`` in a child
-    process with a timeout, and retry with backoff instead of giving up on
-    the first hang (round-1 failure mode: single 240s probe, rc=2, no
-    bench number captured)."""
-    probe = ("import jax; d = jax.devices(); "
-             "print('devices:', [str(x) for x in d])")
-    for i, timeout_s in enumerate(attempts):
+
+def _other_python_pids():
+    """PIDs of other live python processes (candidate TPU claim holders).
+
+    Excludes ourselves and our ancestors (the driver shell chain)."""
+    me = os.getpid()
+    ancestors = set()
+    pid = me
+    for _ in range(32):
         try:
-            r = subprocess.run([sys.executable, "-c", probe],
-                               timeout=timeout_s, capture_output=True,
-                               text=True)
-            if r.returncode == 0:
-                if i:
-                    print(f"bench: device init ok on attempt {i + 1}",
-                          file=sys.stderr)
-                return
-            print(f"bench: device probe attempt {i + 1} exited "
-                  f"rc={r.returncode}: {r.stderr.strip()[-400:]}",
-                  file=sys.stderr)
-        except subprocess.TimeoutExpired:
-            print(f"bench: device probe attempt {i + 1} hung >"
-                  f"{timeout_s}s (TPU tunnel wedged?), retrying",
-                  file=sys.stderr)
-        time.sleep(pause_s)
-    print("bench: device init failed after "
-          f"{len(attempts)} attempts", file=sys.stderr)
-    sys.exit(2)
+            with open(f"/proc/{pid}/stat") as f:
+                pid = int(f.read().split(")")[-1].split()[1])
+        except (OSError, ValueError, IndexError):
+            break
+        if pid <= 1:
+            break
+        ancestors.add(pid)
+    out = []
+    for entry in os.listdir("/proc"):
+        if not entry.isdigit():
+            continue
+        pid = int(entry)
+        if pid == me or pid in ancestors:
+            continue
+        try:
+            with open(f"/proc/{pid}/cmdline", "rb") as f:
+                cmd = f.read().replace(b"\0", b" ").decode(errors="replace")
+        except OSError:
+            continue
+        # .tpu_init.py is the tunnel relay daemon itself — a permanent
+        # fixture, not a claim-holding jax client.  Never wait on (or
+        # signal!) it.
+        if ("python" in cmd and "bench.py" not in cmd
+                and ".tpu_init" not in cmd):
+            out.append((pid, cmd.strip()[:120]))
+    return out
+
+
+def _wait_for_quiet_tunnel(max_wait_s=600):
+    """Phase 1+2 of the protocol: wait for other python processes to exit
+    (never kill them) and honour a recorded wedge settle period."""
+    t0 = time.time()
+    while time.time() - t0 < max_wait_s:
+        others = _other_python_pids()
+        if not others:
+            break
+        print(f"bench: waiting for {len(others)} other python process(es) "
+              f"to release the TPU claim: {others[:3]}", file=sys.stderr)
+        time.sleep(20)
+    try:
+        wedge_age = time.time() - os.path.getmtime(WEDGE_MARKER)
+    except OSError:
+        return
+    if wedge_age < WEDGE_SETTLE_S:
+        settle = WEDGE_SETTLE_S - wedge_age
+        print(f"bench: previous invocation recorded a wedged tunnel "
+              f"{wedge_age:.0f}s ago; settling {settle:.0f}s before the "
+              "single init attempt", file=sys.stderr)
+        time.sleep(settle)
+
+
+def _check_devices():
+    """ONE long-lived init attempt with an internal deadline.  The watchdog
+    only fires if the claim truly hangs; it records the wedge marker so the
+    next invocation waits the settle period, then force-exits (nothing else
+    can unwind a hung RPC in the jax runtime).  No throwaway probe
+    subprocesses: killed probes are what re-wedge the tunnel."""
+    _wait_for_quiet_tunnel()
+    done = threading.Event()
+
+    def watchdog():
+        if done.wait(INIT_DEADLINE_S):
+            return
+        with open(WEDGE_MARKER, "w") as f:
+            f.write(str(time.time()))
+        print(f"bench: device init exceeded {INIT_DEADLINE_S}s "
+              "(TPU tunnel wedged); marker recorded — rerun bench.py "
+              "after the claim expires", file=sys.stderr)
+        sys.stderr.flush()
+        os._exit(2)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+    import jax
+    devices = jax.devices()
+    done.set()
+    try:
+        os.unlink(WEDGE_MARKER)
+    except OSError:
+        pass
+    print(f"bench: devices: {[str(d) for d in devices]}", file=sys.stderr)
 
 
 def main():
