@@ -99,6 +99,32 @@ class AnchorGenerator:
     def rotated_base_anchors(self):
         return None
 
+
+class LegacyAnchorGenerator(AnchorGenerator):
+    """MMDet v1.x anchors (reference ``anchor_generator.py:475-560``;
+    the legacy_1.x config family): center offset applies to ``size - 1``,
+    widths/heights are minused by 1 at the corners, corners quantized."""
+
+    def _single_level_base_anchors(self, base_size, scales, ratios,
+                                   center=None):
+        w = h = float(base_size)
+        if center is None:
+            x_c = self.center_offset * (w - 1)
+            y_c = self.center_offset * (h - 1)
+        else:
+            x_c, y_c = center
+        h_ratios = np.sqrt(ratios)
+        w_ratios = 1.0 / h_ratios
+        if self.scale_major:
+            ws = (w * w_ratios[:, None] * scales[None, :]).reshape(-1)
+            hs = (h * h_ratios[:, None] * scales[None, :]).reshape(-1)
+        else:
+            ws = (w * scales[:, None] * w_ratios[None, :]).reshape(-1)
+            hs = (h * scales[:, None] * h_ratios[None, :]).reshape(-1)
+        return np.round(np.stack(
+            [x_c - 0.5 * (ws - 1), y_c - 0.5 * (hs - 1),
+             x_c + 0.5 * (ws - 1), y_c + 0.5 * (hs - 1)], axis=-1))
+
     def valid_flags(self, featmap_sizes, pad_shape):
         """Per-level bool arrays marking anchors whose grid cell lies inside
         the un-padded image region (reference: ``anchor_generator.py:273-330``)."""

@@ -67,15 +67,19 @@ def bbox_overlaps(boxes1, boxes2, mode="iou", is_aligned=False, eps=1e-6):
 # --------------------------------------------------------------------------
 
 def bbox2delta(proposals, gt, means=(0., 0., 0., 0.), stds=(1., 1., 1., 1.),
-               eps=1e-7):
+               eps=1e-7, legacy=False):
+    """``legacy=True`` applies the MMDet v1.x ``+1`` size convention
+    (reference ``legacy_delta_xywh_bbox_coder.py:82-128``;
+    the legacy_1.x config family)."""
+    off = 1.0 if legacy else 0.0
     px = (proposals[..., 0] + proposals[..., 2]) * 0.5
     py = (proposals[..., 1] + proposals[..., 3]) * 0.5
-    pw = proposals[..., 2] - proposals[..., 0]
-    ph = proposals[..., 3] - proposals[..., 1]
+    pw = proposals[..., 2] - proposals[..., 0] + off
+    ph = proposals[..., 3] - proposals[..., 1] + off
     gx = (gt[..., 0] + gt[..., 2]) * 0.5
     gy = (gt[..., 1] + gt[..., 3]) * 0.5
-    gw = gt[..., 2] - gt[..., 0]
-    gh = gt[..., 3] - gt[..., 1]
+    gw = gt[..., 2] - gt[..., 0] + off
+    gh = gt[..., 3] - gt[..., 1] + off
     # eps guards zero-size padded boxes; real proposals have positive size.
     pw = jnp.maximum(pw, eps)
     ph = jnp.maximum(ph, eps)
@@ -90,8 +94,11 @@ def bbox2delta(proposals, gt, means=(0., 0., 0., 0.), stds=(1., 1., 1., 1.),
 
 
 def delta2bbox(rois, deltas, means=(0., 0., 0., 0.), stds=(1., 1., 1., 1.),
-               max_shape=None, wh_ratio_clip=16 / 1000):
-    """Decode deltas on boxes.  ``deltas`` may be ``(..., 4*K)``."""
+               max_shape=None, wh_ratio_clip=16 / 1000, legacy=False):
+    """Decode deltas on boxes.  ``deltas`` may be ``(..., 4*K)``.
+    ``legacy=True``: MMDet v1.x ``+1`` size / ``-0.5`` corner convention
+    (reference ``legacy_delta_xywh_bbox_coder.py:130-215``)."""
+    off = 1.0 if legacy else 0.0
     num_classes = deltas.shape[-1] // 4
     d = deltas.reshape(deltas.shape[:-1] + (num_classes, 4))
     means = jnp.asarray(means, d.dtype)
@@ -103,16 +110,16 @@ def delta2bbox(rois, deltas, means=(0., 0., 0., 0.), stds=(1., 1., 1., 1.),
     dh = jnp.clip(dh, -max_ratio, max_ratio)
     px = ((rois[..., 0] + rois[..., 2]) * 0.5)[..., None]
     py = ((rois[..., 1] + rois[..., 3]) * 0.5)[..., None]
-    pw = (rois[..., 2] - rois[..., 0])[..., None]
-    ph = (rois[..., 3] - rois[..., 1])[..., None]
+    pw = (rois[..., 2] - rois[..., 0] + off)[..., None]
+    ph = (rois[..., 3] - rois[..., 1] + off)[..., None]
     gw = pw * jnp.exp(dw)
     gh = ph * jnp.exp(dh)
     gx = px + pw * dx
     gy = py + ph * dy
-    x1 = gx - gw * 0.5
-    y1 = gy - gh * 0.5
-    x2 = gx + gw * 0.5
-    y2 = gy + gh * 0.5
+    x1 = gx - gw * 0.5 + off * 0.5
+    y1 = gy - gh * 0.5 + off * 0.5
+    x2 = gx + gw * 0.5 - off * 0.5
+    y2 = gy + gh * 0.5 - off * 0.5
     if max_shape is not None:
         h, w = max_shape[0], max_shape[1]
         x1 = jnp.clip(x1, 0, w)

@@ -219,16 +219,39 @@ class LoadAnnotations:
 class Resize:
     """Keep-ratio resize to fit ``img_scale`` (reference
     ``transforms.py:309-341``).  Instance offsets are deliberately NOT
-    rescaled, matching the reference (tiles are fixed 1024², scale 1)."""
+    rescaled, matching the reference (tiles are fixed 1024², scale 1).
 
-    def __init__(self, img_scale=None, keep_ratio=True):
-        self.img_scale = tuple(img_scale) if img_scale else None
+    Multi-scale training (reference ``random_select``/``random_sample``,
+    ``transforms.py:100-170``): ``img_scale`` may be a list of scales with
+    ``multiscale_mode='value'`` (pick one) or ``'range'`` (sample the long
+    and short edges uniformly between the two given scales)."""
+
+    def __init__(self, img_scale=None, keep_ratio=True,
+                 multiscale_mode="range"):
+        if img_scale and isinstance(img_scale[0], (list, tuple)):
+            self.img_scales = [tuple(s) for s in img_scale]
+            self.img_scale = self.img_scales[0]
+        else:
+            self.img_scales = None
+            self.img_scale = tuple(img_scale) if img_scale else None
         self.keep_ratio = keep_ratio
+        self.multiscale_mode = multiscale_mode
+
+    def _sample_scale(self):
+        if self.img_scales is None:
+            return self.img_scale
+        if self.multiscale_mode == "value" or len(self.img_scales) > 2:
+            return self.img_scales[
+                np.random.randint(len(self.img_scales))]
+        (l0, s0), (l1, s1) = [(max(s), min(s)) for s in self.img_scales]
+        long_edge = np.random.randint(min(l0, l1), max(l0, l1) + 1)
+        short_edge = np.random.randint(min(s0, s1), max(s0, s1) + 1)
+        return (long_edge, short_edge)
 
     def __call__(self, results):
         import cv2
         h, w = results["img"].shape[:2]
-        target = results.get("scale", self.img_scale)
+        target = results.get("scale", self._sample_scale())
         if target is None:
             return results
         max_long, max_short = max(target), min(target)

@@ -55,14 +55,44 @@ def build_optimizer(optimizer_cfg, lr_schedule, grad_clip=None,
     opt_type = cfg.get("type", "SGD")
     momentum = cfg.get("momentum", 0.9)
     wd = cfg.get("weight_decay", 0.0)
+    # reference paramwise_cfg (mmcv DefaultOptimizerConstructor):
+    # norm_decay_mult=0 exempts norm scale/bias from weight decay
+    # (scratch configs).  Norm params are exactly the 1-D 'scale' leaves
+    # and their sibling 'bias' (convs/denses use 'kernel').
+    pw = dict(cfg.get("paramwise_cfg") or {})
+    no_norm_decay = wd and pw.get("norm_decay_mult", 1.0) == 0.0
+
+    def _norm_exempt_mask(params):
+        def rec(tree):
+            if not isinstance(tree, dict):
+                return True
+            is_norm = "scale" in tree and not isinstance(
+                tree["scale"], dict) and getattr(
+                    tree["scale"], "ndim", None) == 1
+            return {k: (not (is_norm and k in ("scale", "bias")))
+                    if not isinstance(v, dict) else rec(v)
+                    for k, v in tree.items()}
+        return rec(params)
 
     chain = []
     if grad_clip:
         chain.append(optax.clip_by_global_norm(grad_clip.get("max_norm", 35)))
     if wd:
         if frozen_mask is not None:
-            not_frozen = jax.tree_util.tree_map(lambda f: not f, frozen_mask)
-            chain.append(optax.add_decayed_weights(wd, mask=not_frozen))
+            if no_norm_decay:
+                nf = jax.tree_util.tree_map(lambda f: not f, frozen_mask)
+
+                def mask_fn(params, nf=nf):
+                    return jax.tree_util.tree_map(
+                        lambda a, b: a and b, _norm_exempt_mask(params), nf)
+                chain.append(optax.add_decayed_weights(wd, mask=mask_fn))
+            else:
+                not_frozen = jax.tree_util.tree_map(lambda f: not f,
+                                                    frozen_mask)
+                chain.append(optax.add_decayed_weights(wd, mask=not_frozen))
+        elif no_norm_decay:
+            chain.append(optax.add_decayed_weights(
+                wd, mask=_norm_exempt_mask))
         else:
             chain.append(optax.add_decayed_weights(wd))
     if opt_type == "SGD":

@@ -38,15 +38,24 @@ ARCH_SETTINGS = {
 class FrozenBatchNorm(nn.Module):
     """BatchNorm evaluated with running statistics (reference
     ``norm_eval=True`` semantics).  scale/bias live in ``params`` (they are
-    trainable outside frozen stages); mean/var live in ``batch_stats``."""
+    trainable outside frozen stages); mean/var live in ``batch_stats``.
+
+    ``freeze_affine`` mirrors ``norm_cfg=dict(type='BN',
+    requires_grad=False)`` in the reference caffe-style configs
+    (e.g. ``configs/retinanet/retinanet_r50_caffe_fpn_1x_coco.py``): the
+    affine params also get no gradient."""
     epsilon: float = 1e-5
     dtype: Any = jnp.float32
+    freeze_affine: bool = False
 
     @nn.compact
     def __call__(self, x):
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        if self.freeze_affine:
+            scale = jax.lax.stop_gradient(scale)
+            bias = jax.lax.stop_gradient(bias)
         mean = self.variable("batch_stats", "mean",
                              lambda: jnp.zeros(c, jnp.float32)).value
         var = self.variable("batch_stats", "var",
@@ -57,10 +66,49 @@ class FrozenBatchNorm(nn.Module):
         return x.astype(self.dtype) * w + b
 
 
+def make_norm(norm_cfg, dtype, name):
+    """Norm layer from an mmdet-style ``norm_cfg`` dict (reference
+    ``mmcv.cnn.build_norm_layer`` as threaded through
+    ``mmdet/models/backbones/resnet.py:25,32-33``).
+
+    Supported: BN/SyncBN (frozen running stats — the detection-training
+    semantics; ``requires_grad=False`` additionally freezes the affine) and
+    GN.  No reference config family trains BN statistics (the scratch
+    family uses GN throughout), so train-mode BN is intentionally absent.
+    The flax param names (``scale``/``bias``) are identical for both, so
+    checkpoint trees are layout-stable across norm choices.
+    """
+    cfg = dict(norm_cfg or {})
+    t = cfg.get("type", "BN")
+    if t == "GN":
+        return nn.GroupNorm(num_groups=cfg.get("num_groups", 32),
+                            epsilon=1e-5, dtype=dtype,
+                            param_dtype=jnp.float32, name=name)
+    assert t in ("BN", "SyncBN"), f"unsupported norm type {t}"
+    return FrozenBatchNorm(dtype=dtype, name=name,
+                           freeze_affine=not cfg.get("requires_grad", True))
+
+
 def conv(features, kernel, stride=1, pad=None, name=None, dtype=jnp.float32,
-         groups=1):
+         groups=1, conv_cfg=None):
     if pad is None:
         pad = kernel // 2
+    ctype = (conv_cfg or {}).get("type", "Conv")
+    if ctype == "ConvWS":
+        # weight-standardised conv (gn+ws configs; reference
+        # ``mmcv.cnn.ConvWS2d`` threaded via ``conv_cfg=dict(type='ConvWS')``)
+        from ...ops.layers import ConvWS2d
+        return ConvWS2d(features=features, kernel_size=kernel, stride=stride,
+                        use_bias=False, groups=groups, dtype=dtype,
+                        name=name)
+    if ctype == "ConvAWS":
+        # DetectoRS sets conv_cfg=ConvAWS backbone-wide; the adaptive
+        # weight standardisation lives inside SAConv2d (ops/saconv.py)
+        # which replaces conv2 in SAC stages — the remaining convs run
+        # plain (documented deviation: AWS without SAC is a no-op at
+        # inference and near-identity during fine-tuning)
+        ctype = "Conv"
+    assert ctype == "Conv", f"unsupported conv type {ctype}"
     return nn.Conv(features, (kernel, kernel), strides=(stride, stride),
                    padding=[(pad, pad), (pad, pad)], use_bias=False,
                    dtype=dtype, name=name, feature_group_count=groups,
@@ -85,6 +133,10 @@ class Bottleneck(nn.Module):
     plugins: Any = None      # ((type, kwargs, position), ...) — GCNet /
                              # empirical-attention blocks (reference
                              # resnet.py ``plugins=`` / forward_plugin)
+    style: str = "pytorch"   # 'caffe': stride on the 1x1 conv1 (reference
+                             # resnet.py:113-116)
+    norm_cfg: Any = None     # mmdet norm_cfg dict (None -> frozen BN)
+    conv_cfg: Any = None     # mmdet conv_cfg dict (None -> plain conv)
 
     def _plugin(self, out, position, idx_base):
         for i, (ptype, kwargs, pos) in enumerate(self.plugins or ()):
@@ -113,36 +165,42 @@ class Bottleneck(nn.Module):
             width = self.planes
         else:
             width = int(self.planes * (self.base_width / 64)) * self.groups
-        # style='pytorch': stride on the 3x3 conv (reference resnet.py)
-        out = conv(width, 1, 1, 0, "conv1", self.dtype)(x)
-        out = FrozenBatchNorm(dtype=self.dtype, name="bn1")(out)
+        # style='pytorch': stride on the 3x3 conv2; style='caffe': stride on
+        # the 1x1 conv1 (reference resnet.py:113-116)
+        c1_stride = self.stride if self.style == "caffe" else 1
+        c2_stride = 1 if self.style == "caffe" else self.stride
+        out = conv(width, 1, c1_stride, 0, "conv1", self.dtype,
+                   conv_cfg=self.conv_cfg)(x)
+        out = make_norm(self.norm_cfg, self.dtype, "bn1")(out)
         out = nn.relu(out)
         out = self._plugin(out, "after_conv1", 0)
         if self.dcn:
             from ...ops.deform_conv import ModulatedDeformConv2d
             out = ModulatedDeformConv2d(
-                features=width, kernel_size=3, stride=self.stride,
+                features=width, kernel_size=3, stride=c2_stride,
                 padding=1, use_bias=False, dtype=self.dtype,
                 name="conv2")(out)
         elif self.sac:
             from ...ops.saconv import SAConv2d
             out = SAConv2d(features=width, kernel_size=3,
-                           stride=self.stride, dtype=self.dtype,
+                           stride=c2_stride, dtype=self.dtype,
                            name="conv2")(out)
         else:
-            out = conv(width, 3, self.stride, 1, "conv2", self.dtype,
-                       groups=self.groups)(out)
-        out = FrozenBatchNorm(dtype=self.dtype, name="bn2")(out)
+            out = conv(width, 3, c2_stride, 1, "conv2", self.dtype,
+                       groups=self.groups, conv_cfg=self.conv_cfg)(out)
+        out = make_norm(self.norm_cfg, self.dtype, "bn2")(out)
         out = nn.relu(out)
         out = self._plugin(out, "after_conv2", 0)
         out = conv(self.planes * self.expansion, 1, 1, 0, "conv3",
-                   self.dtype)(out)
-        out = FrozenBatchNorm(dtype=self.dtype, name="bn3")(out)
+                   self.dtype, conv_cfg=self.conv_cfg)(out)
+        out = make_norm(self.norm_cfg, self.dtype, "bn3")(out)
         out = self._plugin(out, "after_conv3", 0)
         if self.downsample:
             identity = conv(self.planes * self.expansion, 1, self.stride, 0,
-                            "ds_conv", self.dtype)(x)
-            identity = FrozenBatchNorm(dtype=self.dtype, name="ds_bn")(identity)
+                            "ds_conv", self.dtype,
+                            conv_cfg=self.conv_cfg)(x)
+            identity = make_norm(self.norm_cfg, self.dtype,
+                                 "ds_bn")(identity)
         out = out + identity
         if self.rfp_in and rfp_feat is not None:
             # zero-init 1x1 RFP injection (reference
@@ -222,19 +280,24 @@ class BasicBlock(nn.Module):
     downsample: bool = False
     dtype: Any = jnp.float32
     expansion: int = 1
+    norm_cfg: Any = None
+    conv_cfg: Any = None
 
     @nn.compact
     def __call__(self, x):
         identity = x
-        out = conv(self.planes, 3, self.stride, 1, "conv1", self.dtype)(x)
-        out = FrozenBatchNorm(dtype=self.dtype, name="bn1")(out)
+        out = conv(self.planes, 3, self.stride, 1, "conv1", self.dtype,
+                   conv_cfg=self.conv_cfg)(x)
+        out = make_norm(self.norm_cfg, self.dtype, "bn1")(out)
         out = nn.relu(out)
-        out = conv(self.planes, 3, 1, 1, "conv2", self.dtype)(out)
-        out = FrozenBatchNorm(dtype=self.dtype, name="bn2")(out)
+        out = conv(self.planes, 3, 1, 1, "conv2", self.dtype,
+                   conv_cfg=self.conv_cfg)(out)
+        out = make_norm(self.norm_cfg, self.dtype, "bn2")(out)
         if self.downsample:
             identity = conv(self.planes, 1, self.stride, 0, "ds_conv",
-                            self.dtype)(x)
-            identity = FrozenBatchNorm(dtype=self.dtype, name="ds_bn")(identity)
+                            self.dtype, conv_cfg=self.conv_cfg)(x)
+            identity = make_norm(self.norm_cfg, self.dtype,
+                                 "ds_bn")(identity)
         return nn.relu(out + identity)
 
 
@@ -261,6 +324,9 @@ class ResNet(nn.Module):
     output_img: bool = False   # prepend the input image (RFP consumes it)
     plugins: Any = None        # mmdet plugin specs: [{cfg, stages,
                                #  position}] (GCNet / empirical attention)
+    norm_cfg: Any = None       # mmdet norm_cfg (None -> frozen BN;
+                               # GN for the gn/gn+ws/scratch families)
+    conv_cfg: Any = None       # mmdet conv_cfg (ConvWS for gn+ws)
     dtype: Any = jnp.float32
 
     def _stage_plugins(self, stage):
@@ -290,13 +356,14 @@ class ResNet(nn.Module):
             half = self.base_channels // 2
             for i, (ch, st) in enumerate([(half, 2), (half, 1),
                                           (self.base_channels, 1)]):
-                x = conv(ch, 3, st, 1, f"stem_conv{i}", self.dtype)(x)
-                x = FrozenBatchNorm(dtype=self.dtype,
-                                    name=f"stem_bn{i}")(x)
+                x = conv(ch, 3, st, 1, f"stem_conv{i}", self.dtype,
+                         conv_cfg=self.conv_cfg)(x)
+                x = make_norm(self.norm_cfg, self.dtype, f"stem_bn{i}")(x)
                 x = nn.relu(x)
         else:
-            x = conv(self.base_channels, 7, 2, 3, "conv1", self.dtype)(x)
-            x = FrozenBatchNorm(dtype=self.dtype, name="bn1")(x)
+            x = conv(self.base_channels, 7, 2, 3, "conv1", self.dtype,
+                     conv_cfg=self.conv_cfg)(x)
+            x = make_norm(self.norm_cfg, self.dtype, "bn1")(x)
             x = nn.relu(x)
         # torch MaxPool2d(3, 2, padding=1)
         x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)),
@@ -321,6 +388,9 @@ class ResNet(nn.Module):
                               downsample=ds,
                               dtype=self.dtype,
                               name=f"layer{stage + 1}_{b}")
+                if block_cls in (Bottleneck, BasicBlock):
+                    kwargs.update(norm_cfg=self.norm_cfg,
+                                  conv_cfg=self.conv_cfg)
                 if block_cls is Bottle2neck:
                     kwargs.update(scales=self.scales,
                                   base_width=self.base_width,
@@ -330,6 +400,7 @@ class ResNet(nn.Module):
                 elif block_cls is Bottleneck:
                     kwargs.update(
                         groups=self.groups, base_width=self.base_width,
+                        style=self.style,
                         dcn=bool(self.dcn)
                         and bool(self.stage_with_dcn[stage]),
                         sac=bool(self.sac)

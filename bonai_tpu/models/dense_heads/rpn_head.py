@@ -50,7 +50,8 @@ class RPNHead(nn.Module):
         return cls_scores, bbox_preds
 
 
-def rpn_targets(rng, anchors, gt_bboxes, gt_valid, assigner_cfg, sampler_cfg):
+def rpn_targets(rng, anchors, gt_bboxes, gt_valid, assigner_cfg,
+                sampler_cfg, legacy=False):
     """Single-image RPN targets over flattened anchors (vmap over batch).
 
     Returns (labels, label_weights, bbox_targets, bbox_weights, num_samples)
@@ -78,7 +79,8 @@ def rpn_targets(rng, anchors, gt_bboxes, gt_valid, assigner_cfg, sampler_cfg):
     # each candidate index is sampled at most once, so .add == .set here
     matched_gt = gt_bboxes[res["pos_gt_inds"]]              # (num, 4)
     sampled_anchors = anchors[res["inds"]]
-    deltas = bbox2delta(sampled_anchors, matched_gt)
+    deltas = bbox2delta(sampled_anchors, matched_gt,
+                        legacy=legacy)
     bbox_targets = jnp.zeros((n, 4), jnp.float32)
     bbox_weights = jnp.zeros((n, 4), jnp.float32)
     w = jnp.where(pos_slot, 1.0, 0.0)[:, None]
@@ -112,9 +114,10 @@ def rpn_loss(cls_scores, bbox_preds, anchors_flat, gt_bboxes, gt_valid,
 
     rngs = jax.random.split(rng, b)
     labels, lw, bt, bw, ns = jax.vmap(
-        lambda r, gtb, gtv: rpn_targets(r, anchors_flat, gtb, gtv,
-                                        train_cfg["assigner"],
-                                        train_cfg["sampler"])
+        lambda r, gtb, gtv: rpn_targets(
+            r, anchors_flat, gtb, gtv, train_cfg["assigner"],
+            train_cfg["sampler"],
+            legacy=train_cfg.get("legacy_coder", False))
     )(rngs, gt_bboxes, gt_valid)
 
     num_total = jnp.maximum(jnp.sum(ns), 1.0)
@@ -158,7 +161,8 @@ def rpn_proposals_single(cls_scores, bbox_preds, anchors_levels, img_shape,
             a = anchors[idx]
         else:
             a = anchors
-        boxes = delta2bbox(a, d)
+        boxes = delta2bbox(
+            a, d, legacy=cfg.get("legacy_coder", False))
         boxes = clip_boxes(boxes, img_shape)
         valid = jnp.ones_like(s, bool)
         if min_bbox_size > 0:

@@ -64,8 +64,12 @@ class RetinaNet(nn.Module):
         ag = dict(bh.get("anchor_generator", dict(
             octave_base_scale=4, scales_per_octave=3,
             ratios=[0.5, 1.0, 2.0], strides=[8, 16, 32, 64, 128])))
-        ag.pop("type", None)
-        self.anchor_generator = AnchorGenerator(**ag)
+        if ag.pop("type", None) == "LegacyAnchorGenerator":
+            # legacy_1.x retinanet (reference anchor_generator.py:475)
+            from ...core.anchors import LegacyAnchorGenerator
+            self.anchor_generator = LegacyAnchorGenerator(**ag)
+        else:
+            self.anchor_generator = AnchorGenerator(**ag)
         self.num_classes = bh.get("num_classes", 80)
         self.head_m = RetinaHead(
             num_classes=self.num_classes,
@@ -631,8 +635,12 @@ class FreeAnchor(nn.Module):
         ag = dict(bh.get("anchor_generator", dict(
             octave_base_scale=4, scales_per_octave=3,
             ratios=[0.5, 1.0, 2.0], strides=[8, 16, 32, 64, 128])))
-        ag.pop("type", None)
-        self.anchor_generator = AnchorGenerator(**ag)
+        if ag.pop("type", None) == "LegacyAnchorGenerator":
+            # legacy_1.x retinanet (reference anchor_generator.py:475)
+            from ...core.anchors import LegacyAnchorGenerator
+            self.anchor_generator = LegacyAnchorGenerator(**ag)
+        else:
+            self.anchor_generator = AnchorGenerator(**ag)
         self.num_classes = bh.get("num_classes", 80)
         self.head_m = RetinaHead(
             num_classes=self.num_classes,

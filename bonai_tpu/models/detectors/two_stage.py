@@ -49,6 +49,23 @@ def _dtype(name):
     return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[name]
 
 
+class GroieConvModule(nn.Module):
+    """GRoIE pre/post ConvModule plugin (reference groie configs'
+    ``pre_cfg=dict(type='ConvModule', kernel_size=5, padding=2)``):
+    conv + ReLU, shared across pyramid levels."""
+    features: int = 256
+    kernel: int = 5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        pad = self.kernel // 2
+        x = nn.Conv(self.features, (self.kernel, self.kernel),
+                    padding=[(pad, pad), (pad, pad)], dtype=self.dtype,
+                    name="conv")(x)
+        return nn.relu(x)
+
+
 def assign_rcnn(proposals, proposal_valid, gt_bboxes, gt_valid,
                 assigner_cfg):
     """Single-image second-stage assignment with ``add_gt_as_proposals``
@@ -182,6 +199,8 @@ class TwoStageDetector(nn.Module):
                 output_img=bk.get("output_img", False),
                 stage_with_dcn=tuple(bk.get("stage_with_dcn",
                                             (False,) * 4)),
+                norm_cfg=bk.get("norm_cfg"),
+                conv_cfg=bk.get("conv_cfg"),
                 dtype=dt, name="backbone")
         if isinstance(self.neck, (list, tuple)):
             # chained necks, e.g. [FPN, BFP] (Libra R-CNN, reference
@@ -255,6 +274,8 @@ class TwoStageDetector(nn.Module):
                 out_channels=nk.get("out_channels", 256),
                 num_outs=nk.get("num_outs", 5),
                 add_extra_convs=bool(nk.get("add_extra_convs", False)),
+                norm_cfg=nk.get("norm_cfg"),
+                conv_cfg=nk.get("conv_cfg"),
                 dtype=dt, name="neck")
         rh = dict(self.rpn_head)
         # SemiRPNHead (reference mmdet/models/dense_heads/semi_rpn_head.py):
@@ -280,8 +301,13 @@ class TwoStageDetector(nn.Module):
             self.anchor_generator = None
         else:
             ag_cfg = dict(rh.get("anchor_generator", {}))
-            ag_cfg.pop("type", None)
-            self.anchor_generator = AnchorGenerator(**ag_cfg)
+            ag_type = ag_cfg.pop("type", "AnchorGenerator")
+            if ag_type == "LegacyAnchorGenerator":
+                # legacy_1.x family (reference anchor_generator.py:475)
+                from ...core.anchors import LegacyAnchorGenerator
+                self.anchor_generator = LegacyAnchorGenerator(**ag_cfg)
+            else:
+                self.anchor_generator = AnchorGenerator(**ag_cfg)
             self.rpn_head_m = RPNHead(
                 in_channels=rh.get("in_channels", 256),
                 feat_channels=rh.get("feat_channels", 256),
@@ -289,6 +315,9 @@ class TwoStageDetector(nn.Module):
                 * len(ag_cfg.get("scales", [8])),
                 dtype=dt, name="rpn_head")
         self.rpn_bbox_coder = rh.get("bbox_coder", {})
+        # v1.x +1 box-size convention (legacy_1.x configs)
+        self.rpn_legacy = self.rpn_bbox_coder.get(
+            "type") == "LegacyDeltaXYWHBBoxCoder"
         if self.roi_head is None:
             # RPN-only detector (reference mmdet/models/detectors/rpn.py)
             self.bbox_head_m = None
@@ -318,6 +347,14 @@ class TwoStageDetector(nn.Module):
             self.reg_roi_scale_factor = cfg.get("reg_roi_scale_factor",
                                                 1.3)
         else:
+            btype = bh.get("type", "Shared2FCBBoxHead")
+            # Shared4Conv1FCBBoxHead (reference convfc_bbox_head.py:194-211,
+            # the gn / gn+ws families): 4 shared convs + 1 shared fc
+            if btype == "Shared4Conv1FCBBoxHead":
+                shared_convs, shared_fcs = 4, 1
+            else:
+                shared_convs = bh.get("num_shared_convs", 0)
+                shared_fcs = bh.get("num_shared_fcs", 2)
             self.bbox_head_m = Shared2FCBBoxHead(
                 num_classes=bh.get("num_classes", 1),
                 in_channels=bh.get("in_channels", 256),
@@ -325,6 +362,11 @@ class TwoStageDetector(nn.Module):
                 roi_feat_size=bh.get("roi_feat_size", 7),
                 reg_class_agnostic=bh.get("reg_class_agnostic", False),
                 with_reg=bh.get("with_reg", True),
+                num_shared_convs=shared_convs,
+                num_shared_fcs=shared_fcs,
+                conv_out_channels=bh.get("conv_out_channels", 256),
+                norm_cfg=bh.get("norm_cfg"),
+                conv_cfg=bh.get("conv_cfg"),
                 dtype=dt, name="bbox_head")
             self.double_head = False
         self.bbox_with_reg = bh.get("with_reg", True)
@@ -334,9 +376,11 @@ class TwoStageDetector(nn.Module):
         # fused inline path
         self.bbox_loss_cfg = lb if lb.get("type") not in (
             None, "L1Loss", "SmoothL1Loss") else None
+        self.reg_decoded_bbox = bh.get("reg_decoded_bbox", False)
         self.bbox_coder_cfg = bh.get(
             "bbox_coder", dict(target_means=[0.] * 4, target_stds=[1.] * 4))
-        self.bbox_extractor_cfg = dict(cfg["bbox_roi_extractor"])
+        self.bbox_extractor_cfg = self._setup_extractor(
+            dict(cfg["bbox_roi_extractor"]), "bbox", dt)
         if cfg.get("mask_head") is not None:
             mh = dict(cfg["mask_head"])
             if mh.get("type", "FCNMaskHead") == "CoarseMaskHead":
@@ -352,13 +396,19 @@ class TwoStageDetector(nn.Module):
                     roi_feat_size=mh.get("roi_feat_size", 14),
                     dtype=dt, name="mask_head")
             else:
+                up_cfg = dict(mh.get("upsample_cfg") or {})
                 self.mask_head_m = FCNMaskHead(
                     num_convs=mh.get("num_convs", 4),
                     in_channels=mh.get("in_channels", 256),
                     conv_out_channels=mh.get("conv_out_channels", 256),
                     num_classes=mh.get("num_classes", 1),
+                    norm_cfg=mh.get("norm_cfg"),
+                    conv_cfg=mh.get("conv_cfg"),
+                    upsample_type=up_cfg.get("type", "deconv"),
+                    upsample_cfg=up_cfg,
                     dtype=dt, name="mask_head")
-            self.mask_extractor_cfg = dict(cfg["mask_roi_extractor"])
+            self.mask_extractor_cfg = self._setup_extractor(
+                dict(cfg["mask_roi_extractor"]), "mask", dt)
         else:
             self.mask_head_m = None
         if cfg.get("mask_iou_head") is not None:
@@ -378,6 +428,43 @@ class TwoStageDetector(nn.Module):
         else:
             self.mask_iou_head_m = None
 
+    def _setup_extractor(self, ext, role, dt):
+        """Build GRoIE pre/post plugin modules for a GenericRoIExtractor
+        cfg (reference ``generic_roi_extractor.py:36-40``; groie configs).
+        The module attribute names are stashed into the cfg dict so
+        ``_roi_align_cfg`` can look them up at call time."""
+        if ext.get("type") != "GenericRoIExtractor":
+            return ext
+        pre = dict(ext.get("pre_cfg") or {})
+        if pre:
+            assert pre.get("type", "ConvModule") == "ConvModule", \
+                f"unsupported groie pre module {pre.get('type')}"
+            mod = GroieConvModule(
+                features=pre.get("out_channels", 256),
+                kernel=pre.get("kernel_size", 3),
+                dtype=dt, name=f"{role}_groie_pre")
+            setattr(self, f"_groie_pre_{role}", mod)
+            ext["_pre_attr"] = f"_groie_pre_{role}"
+        post = dict(ext.get("post_cfg") or {})
+        if post:
+            ptype = post.pop("type", "GeneralizedAttention")
+            post.pop("in_channels", None)
+            if ptype == "GeneralizedAttention":
+                from ...ops.layers import GeneralizedAttention
+                mod = GeneralizedAttention(dtype=dt,
+                                           name=f"{role}_groie_post", **post)
+            elif ptype == "ConvModule":
+                post.pop("inplace", None)
+                mod = GroieConvModule(
+                    features=post.get("out_channels", 256),
+                    kernel=post.get("kernel_size", 3),
+                    dtype=dt, name=f"{role}_groie_post")
+            else:
+                raise KeyError(f"unsupported groie post module {ptype}")
+            setattr(self, f"_groie_post_{role}", mod)
+            ext["_post_attr"] = f"_groie_post_{role}"
+        return ext
+
     # ---------------- shared helpers ----------------
     @property
     def with_mask(self):
@@ -395,6 +482,16 @@ class TwoStageDetector(nn.Module):
         out_size = layer.get("output_size", 7)
         sr = layer.get("sampling_ratio", 0) or 2   # static grid on TPU
         strides = list(extractor_cfg.get("featmap_strides", [4, 8, 16, 32]))
+        if extractor_cfg.get("type") == "GenericRoIExtractor":
+            from ...ops.roi_align import generic_roi_align
+            pre_attr = extractor_cfg.get("_pre_attr")
+            post_attr = extractor_cfg.get("_post_attr")
+            return generic_roi_align(
+                feats[:len(strides)], rois, out_size, strides,
+                sampling_ratio=sr, roi_valid=roi_valid,
+                aggregation=extractor_cfg.get("aggregation", "sum"),
+                pre=getattr(self, pre_attr) if pre_attr else None,
+                post=getattr(self, post_attr) if post_attr else None)
         # default = gather: the blocked variant's forward is faster but its
         # backward block-scatter serializes (~23GB/s) and loses end-to-end;
         # 'pallas' selects the fused fwd+bwd kernel (pallas_roi_align_fused)
@@ -447,6 +544,8 @@ class TwoStageDetector(nn.Module):
             return self._ga_rpn_and_proposals(feats, img_shape,
                                               proposal_cfg)
         cls_scores, bbox_preds = self.rpn_head_m(feats)
+        if getattr(self, "rpn_legacy", False):
+            proposal_cfg = dict(proposal_cfg, legacy_coder=True)
         sizes = [(int(f.shape[1]), int(f.shape[2])) for f in feats]
         anchors_levels = [jnp.asarray(a) for a in
                           self.anchor_generator.grid_anchors(sizes)]
@@ -552,9 +651,12 @@ class TwoStageDetector(nn.Module):
                 deg = jnp.abs(img_aux["angle_pred"][:, 0]) * (180.0 / jnp.pi)
                 flag = flag * (deg >= 10.0).astype(flag.dtype)
             rpn_reg_weight = 1.0 - flag
-        losses = rpn_loss(cls_scores, bbox_preds, anchors_flat, rpn_gt,
-                          gt_valid, rng_rpn, dict(self.train_cfg["rpn"]),
-                          reg_weight=rpn_reg_weight)
+        losses = rpn_loss(
+            cls_scores, bbox_preds, anchors_flat, rpn_gt, gt_valid,
+            rng_rpn,
+            dict(self.train_cfg["rpn"],
+                 legacy_coder=getattr(self, "rpn_legacy", False)),
+            reg_weight=rpn_reg_weight)
         losses.update(img_losses)
 
         if self.bbox_head_m is None:        # RPN-only detector
@@ -604,12 +706,13 @@ class TwoStageDetector(nn.Module):
         # res fields: (B, num); sampled_boxes: (B, num, 4)
 
         coder = dict(self.bbox_coder_cfg)
+        legacy = coder.get("type") == "LegacyDeltaXYWHBBoxCoder"
         labels, label_w, bbox_t, bbox_w = jax.vmap(
             lambda sb, ip, v, pg, gb, gl: bbox_targets_single(
                 sb, {"is_pos": ip, "valid": v, "pos_gt_inds": pg}, gb, gl,
                 self.bbox_head_m.num_classes,
                 tuple(coder.get("target_means", (0.,) * 4)),
-                tuple(coder.get("target_stds", (1.,) * 4)))
+                tuple(coder.get("target_stds", (1.,) * 4)), legacy=legacy)
         )(sampled_boxes, res["is_pos"], res["valid"], res["pos_gt_inds"],
           gt_bboxes, gt_labels)
 
@@ -686,9 +789,24 @@ class TwoStageDetector(nn.Module):
         elif getattr(self, "bbox_loss_cfg", None):
             # config-dispatched regression loss (Libra R-CNN:
             # loss_bbox=dict(type='BalancedL1Loss', ...))
-            loss_bbox = build_loss(dict(self.bbox_loss_cfg))(
-                pred4, bbox_t_f, bbox_w.reshape(n_tot, 4),
-                avg_factor=float(n_tot))
+            if getattr(self, "reg_decoded_bbox", False):
+                # reference bbox_head.py ``reg_decoded_bbox``: IoU-family
+                # losses operate on decoded boxes; decoding the target
+                # deltas recovers the matched gt box
+                from ...core.boxes import delta2bbox as _d2b
+                coder_m = tuple(coder.get("target_means", (0.,) * 4))
+                coder_s = tuple(coder.get("target_stds", (1.,) * 4))
+                flat_boxes = sampled_boxes.reshape(n_tot, 4)
+                loss_bbox = build_loss(dict(self.bbox_loss_cfg))(
+                    _d2b(flat_boxes, pred4.astype(jnp.float32),
+                         coder_m, coder_s),
+                    _d2b(flat_boxes, bbox_t_f, coder_m, coder_s),
+                    bbox_w.reshape(n_tot, 4)[:, 0],
+                    avg_factor=float(n_tot))
+            else:
+                loss_bbox = build_loss(dict(self.bbox_loss_cfg))(
+                    pred4, bbox_t_f, bbox_w.reshape(n_tot, 4),
+                    avg_factor=float(n_tot))
         else:
             loss_bbox = l1_loss(pred4, bbox_t_f, bbox_w.reshape(n_tot, 4),
                                 avg_factor=float(n_tot))
@@ -879,7 +997,8 @@ class TwoStageDetector(nn.Module):
         coder = dict(self.bbox_coder_cfg)
         boxes_dec = jax.vmap(lambda r, d, s: delta2bbox(
             r, d, tuple(coder.get("target_means", (0.,) * 4)),
-            tuple(coder.get("target_stds", (1.,) * 4))))(
+            tuple(coder.get("target_stds", (1.,) * 4)),
+            legacy=coder.get("type") == "LegacyDeltaXYWHBBoxCoder"))(
             proposals, bbox_pred.reshape(b, n, -1), img_shape)
         boxes_dec = jax.vmap(clip_boxes)(boxes_dec, img_shape)
 
@@ -1017,7 +1136,8 @@ class TwoStageDetector(nn.Module):
             scores_v = jax.nn.softmax(cls_score, axis=-1).reshape(b, n, -1)
             boxes_v = jax.vmap(lambda r, d, s_: delta2bbox(
                 r, d, tuple(coder.get("target_means", (0.,) * 4)),
-                tuple(coder.get("target_stds", (1.,) * 4))))(
+                tuple(coder.get("target_stds", (1.,) * 4)),
+                legacy=coder.get("type") == "LegacyDeltaXYWHBBoxCoder"))(
                 props_v, bbox_pred.reshape(b, n, -1), shape_v)
             boxes_v = jax.vmap(clip_boxes)(boxes_v, shape_v)
             if direction is not None:

@@ -20,6 +20,31 @@ def _upsample_nearest_2x(x):
     return x.reshape(b, h * 2, w * 2, c)
 
 
+def conv_module(x, features, kernel, name, dtype, stride=1,
+                norm_cfg=None, conv_cfg=None):
+    """mmcv ``ConvModule`` semantics as used by FPN (act_cfg=None):
+    conv (bias='auto' -> no bias when a norm follows) + optional norm.
+    Thread point for the gn / gn+ws config families
+    (reference ``mmdet/models/necks/fpn.py:10-216`` ``norm_cfg``/
+    ``conv_cfg`` arguments)."""
+    pad = kernel // 2
+    ctype = (conv_cfg or {}).get("type", "Conv")
+    if ctype == "ConvWS":
+        from ...ops.layers import ConvWS2d
+        x = ConvWS2d(features=features, kernel_size=kernel, stride=stride,
+                     use_bias=norm_cfg is None, dtype=dtype, name=name)(x)
+    else:
+        x = nn.Conv(features, (kernel, kernel), strides=(stride, stride),
+                    padding=[(pad, pad), (pad, pad)],
+                    use_bias=norm_cfg is None, dtype=dtype,
+                    kernel_init=nn.initializers.xavier_uniform(),
+                    name=name)(x)
+    if norm_cfg is not None:
+        from ..backbones.resnet import make_norm
+        x = make_norm(norm_cfg, dtype, f"{name}_norm")(x)
+    return x
+
+
 class FPN(nn.Module):
     in_channels: Sequence[int] = (256, 512, 1024, 2048)
     out_channels: int = 256
@@ -28,26 +53,29 @@ class FPN(nn.Module):
     end_level: int = -1
     add_extra_convs: bool = False
     relu_before_extra_convs: bool = False
+    norm_cfg: Any = None
+    conv_cfg: Any = None
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, inputs):
         assert len(inputs) == len(self.in_channels)
         used = len(self.in_channels) - self.start_level
-        xavier = nn.initializers.xavier_uniform()
+
+        def cm(x, features, kernel, name, stride=1):
+            return conv_module(x, features, kernel, name, self.dtype,
+                               stride=stride, norm_cfg=self.norm_cfg,
+                               conv_cfg=self.conv_cfg)
 
         laterals = [
-            nn.Conv(self.out_channels, (1, 1), use_bias=True,
-                    dtype=self.dtype, kernel_init=xavier,
-                    name=f"lateral_{i}")(inputs[self.start_level + i])
+            cm(inputs[self.start_level + i], self.out_channels, 1,
+               f"lateral_{i}")
             for i in range(used)
         ]
         for i in range(used - 1, 0, -1):
             laterals[i - 1] = laterals[i - 1] + _upsample_nearest_2x(laterals[i])
         outs = [
-            nn.Conv(self.out_channels, (3, 3), padding=[(1, 1), (1, 1)],
-                    use_bias=True, dtype=self.dtype, kernel_init=xavier,
-                    name=f"fpn_{i}")(laterals[i])
+            cm(laterals[i], self.out_channels, 3, f"fpn_{i}")
             for i in range(used)
         ]
         if self.num_outs > used:
@@ -61,11 +89,8 @@ class FPN(nn.Module):
                     src = extra_src if i == 0 else outs[-1]
                     if i > 0 and self.relu_before_extra_convs:
                         src = nn.relu(src)
-                    outs.append(
-                        nn.Conv(self.out_channels, (3, 3), strides=(2, 2),
-                                padding=[(1, 1), (1, 1)], use_bias=True,
-                                dtype=self.dtype, kernel_init=xavier,
-                                name=f"extra_{i}")(src))
+                    outs.append(cm(src, self.out_channels, 3, f"extra_{i}",
+                                   stride=2))
         return tuple(outs)
 
 

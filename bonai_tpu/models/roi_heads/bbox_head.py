@@ -16,24 +16,41 @@ from ...core.boxes import bbox2delta
 
 
 class Shared2FCBBoxHead(nn.Module):
+    """Shared ConvFC box head.  Defaults give the reference
+    ``Shared2FCBBoxHead`` (``convfc_bbox_head.py:177-191``);
+    ``num_shared_convs=4, num_shared_fcs=1, conv_out_channels=256`` with a
+    GN ``norm_cfg`` gives ``Shared4Conv1FCBBoxHead`` (``:194-211``, the
+    gn / gn+ws config families)."""
     num_classes: int = 1
     in_channels: int = 256
     fc_out_channels: int = 1024
     roi_feat_size: int = 7
     reg_class_agnostic: bool = False
     with_reg: bool = True        # Grid R-CNN: cls-only head (with_reg=False)
+    num_shared_convs: int = 0
+    num_shared_fcs: int = 2
+    conv_out_channels: int = 256
+    norm_cfg: Any = None
+    conv_cfg: Any = None
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         """x: (N, S, S, C) RoI features -> (cls_score (N, C+1), bbox_pred)."""
         n = x.shape[0]
-        x = x.reshape(n, -1)
         xavier = nn.initializers.xavier_uniform()
-        x = nn.relu(nn.Dense(self.fc_out_channels, dtype=self.dtype,
-                             kernel_init=xavier, name="shared_fc1")(x))
-        x = nn.relu(nn.Dense(self.fc_out_channels, dtype=self.dtype,
-                             kernel_init=xavier, name="shared_fc2")(x))
+        if self.num_shared_convs:
+            from ..necks.fpn import conv_module
+            for i in range(self.num_shared_convs):
+                x = nn.relu(conv_module(
+                    x, self.conv_out_channels, 3, f"shared_conv{i + 1}",
+                    self.dtype, norm_cfg=self.norm_cfg,
+                    conv_cfg=self.conv_cfg))
+        x = x.reshape(n, -1)
+        for i in range(self.num_shared_fcs):
+            x = nn.relu(nn.Dense(self.fc_out_channels, dtype=self.dtype,
+                                 kernel_init=xavier,
+                                 name=f"shared_fc{i + 1}")(x))
         cls_score = nn.Dense(self.num_classes + 1, dtype=self.dtype,
                              kernel_init=nn.initializers.normal(0.01),
                              name="fc_cls")(x)
@@ -51,7 +68,8 @@ class Shared2FCBBoxHead(nn.Module):
 
 
 def bbox_targets_single(sampled_boxes, sample_res, gt_bboxes, gt_labels,
-                        num_classes, target_means, target_stds):
+                        num_classes, target_means, target_stds,
+                        legacy=False):
     """Targets for one image's fixed-size sample (vmap over batch).
 
     reference: ``bbox_head.py:84-139`` (``_get_target_single``).
@@ -71,7 +89,7 @@ def bbox_targets_single(sampled_boxes, sample_res, gt_bboxes, gt_labels,
     labels = labels.astype(jnp.int32)
     label_weights = valid.astype(jnp.float32)
     deltas = bbox2delta(sampled_boxes, gt_bboxes[matched],
-                        target_means, target_stds)
+                        target_means, target_stds, legacy=legacy)
     w = is_pos.astype(jnp.float32)[:, None]
     bbox_targets = deltas * w
     bbox_weights = jnp.broadcast_to(w, deltas.shape)

@@ -18,20 +18,46 @@ class FCNMaskHead(nn.Module):
     in_channels: int = 256
     conv_out_channels: int = 256
     num_classes: int = 1
+    norm_cfg: Any = None       # GN for the gn config families (reference
+                               # fcn_mask_head.py ``norm_cfg``)
+    conv_cfg: Any = None
+    upsample_type: str = "deconv"  # 'carafe' for the carafe family
+                                   # (reference configs/carafe mask_head
+                                   # ``upsample_cfg=dict(type='carafe')``)
+    upsample_cfg: Any = None
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         """x: (N, S, S, C) -> mask logits (N, 2S, 2S, num_classes)."""
         kaiming = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+        from ..necks.fpn import conv_module
         for i in range(self.num_convs):
-            x = nn.Conv(self.conv_out_channels, (3, 3),
-                        padding=[(1, 1), (1, 1)], dtype=self.dtype,
-                        kernel_init=kaiming, name=f"conv{i}")(x)
+            if self.norm_cfg is not None or self.conv_cfg is not None:
+                x = conv_module(x, self.conv_out_channels, 3, f"conv{i}",
+                                self.dtype, norm_cfg=self.norm_cfg,
+                                conv_cfg=self.conv_cfg)
+            else:
+                x = nn.Conv(self.conv_out_channels, (3, 3),
+                            padding=[(1, 1), (1, 1)], dtype=self.dtype,
+                            kernel_init=kaiming, name=f"conv{i}")(x)
             x = nn.relu(x)
-        x = nn.ConvTranspose(self.conv_out_channels, (2, 2), strides=(2, 2),
-                             dtype=self.dtype, kernel_init=kaiming,
-                             name="upsample")(x)
+        if self.upsample_type == "carafe":
+            from ...ops.carafe import CARAFEPack
+            up = dict(self.upsample_cfg or {})
+            x = CARAFEPack(channels=self.conv_out_channels,
+                           scale_factor=up.get("scale_factor", 2),
+                           up_kernel=up.get("up_kernel", 5),
+                           up_group=up.get("up_group", 1),
+                           encoder_kernel=up.get("encoder_kernel", 3),
+                           encoder_dilation=up.get("encoder_dilation", 1),
+                           compressed_channels=up.get("compressed_channels",
+                                                      64),
+                           dtype=self.dtype, name="upsample")(x)
+        else:
+            x = nn.ConvTranspose(self.conv_out_channels, (2, 2),
+                                 strides=(2, 2), dtype=self.dtype,
+                                 kernel_init=kaiming, name="upsample")(x)
         x = nn.relu(x)
         x = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
                     kernel_init=kaiming, name="conv_logits")(x)

@@ -18,12 +18,13 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def conv_ws_2d(x, kernel, bias=None, stride=1, padding=1, eps=1e-5):
+def conv_ws_2d(x, kernel, bias=None, stride=1, padding=1, eps=1e-5,
+               groups=1):
     """Weight-standardised conv (reference ``mmcv.cnn.conv_ws_2d`` /
     ``ConvWS2d``; arXiv 1903.10520): the kernel is z-scored over
     (kh, kw, cin) per output channel before the convolution.
 
-    kernel: ``(kh, kw, cin, cout)`` (flax layout).
+    kernel: ``(kh, kw, cin/groups, cout)`` (flax layout).
     """
     mean = jnp.mean(kernel, axis=(0, 1, 2), keepdims=True)
     std = jnp.std(kernel, axis=(0, 1, 2), keepdims=True)
@@ -31,6 +32,7 @@ def conv_ws_2d(x, kernel, bias=None, stride=1, padding=1, eps=1e-5):
     out = jax.lax.conv_general_dilated(
         x, k, window_strides=(stride, stride),
         padding=[(padding, padding), (padding, padding)],
+        feature_group_count=groups,
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
     if bias is not None:
         out = out + bias
@@ -44,6 +46,7 @@ class ConvWS2d(nn.Module):
     stride: int = 1
     use_bias: bool = True
     eps: float = 1e-5
+    groups: int = 1
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -51,14 +54,15 @@ class ConvWS2d(nn.Module):
         k = self.param(
             "kernel",
             nn.initializers.variance_scaling(2.0, "fan_out", "normal"),
-            (self.kernel_size, self.kernel_size, x.shape[-1],
-             self.features), jnp.float32)
+            (self.kernel_size, self.kernel_size,
+             x.shape[-1] // self.groups, self.features), jnp.float32)
         b = self.param("bias", nn.initializers.zeros,
                        (self.features,), jnp.float32) \
             if self.use_bias else None
         return conv_ws_2d(x.astype(self.dtype), k.astype(self.dtype),
                           None if b is None else b.astype(self.dtype),
-                          self.stride, self.kernel_size // 2, self.eps)
+                          self.stride, self.kernel_size // 2, self.eps,
+                          self.groups)
 
 
 class NonLocal2d(nn.Module):
@@ -193,26 +197,34 @@ class GeneralizedAttention(nn.Module):
         b, h, w, c = x.shape
         heads = self.num_heads
         at = [t == "1" for t in self.attention_type]
-        qh, qw = h // self.q_stride, w // self.q_stride
-        kh, kw = h // self.kv_stride, w // self.kv_stride
+        # ::stride slice length (ceil division — h need not be divisible)
+        qh = -(-h // self.q_stride)
+        qw = -(-w // self.q_stride)
+        kh = -(-h // self.kv_stride)
+        kw = -(-w // self.kv_stride)
         pe_dim = self.position_embedding_dim \
             if self.position_embedding_dim > 0 else c
         init = nn.initializers.normal(0.01)
 
         xq = x[:, ::self.q_stride, ::self.q_stride]
         xk = x[:, ::self.kv_stride, ::self.kv_stride]
+        # per-head embed dim (reference mmcv generalized_attention.py:
+        # qk_embed_dim = in_channels // num_heads; the q/k/v convs emit
+        # num_heads * qk_embed_dim channels, which is < c when c is not
+        # divisible by num_heads)
         dk = c // heads
+        qkv_ch = heads * dk
 
         def heads_split(t, hh, ww):
             return t.reshape(b, hh * ww, heads, dk).transpose(0, 2, 1, 3)
 
         energy = 0.0
         if at[0] or at[1]:
-            q = nn.Conv(c, (1, 1), use_bias=False, dtype=self.dtype,
+            q = nn.Conv(qkv_ch, (1, 1), use_bias=False, dtype=self.dtype,
                         kernel_init=init, name="query_conv")(xq)
             q = heads_split(q, qh, qw)                  # (B, Hd, Nq, dk)
         if at[0] or at[2]:
-            k = nn.Conv(c, (1, 1), use_bias=False, dtype=self.dtype,
+            k = nn.Conv(qkv_ch, (1, 1), use_bias=False, dtype=self.dtype,
                         kernel_init=init, name="key_conv")(xk)
             k = heads_split(k, kh, kw)                  # (B, Hd, Nk, dk)
         if at[1] or at[3]:
@@ -239,8 +251,9 @@ class GeneralizedAttention(nn.Module):
                           kernel_init=init,
                           name="appr_geom_x")(embed(rx))  # (qw, kw, dk)
         if at[1]:
-            qg = nn.Conv(c, (1, 1), use_bias=False, dtype=self.dtype,
-                         kernel_init=init, name="geom_query_conv")(xq)
+            qg = nn.Conv(qkv_ch, (1, 1), use_bias=False,
+                         dtype=self.dtype, kernel_init=init,
+                         name="geom_query_conv")(xq)
             qg = heads_split(qg, qh, qw).reshape(b, heads, qh, qw, dk)
         if at[2]:
             kbias = self.param("key_content_bias", init, (heads, dk),
@@ -283,11 +296,11 @@ class GeneralizedAttention(nn.Module):
         attn = jax.nn.softmax(
             jnp.asarray(energy).astype(jnp.float32) / np.sqrt(dk),
             axis=-1).astype(x.dtype)
-        v = nn.Conv(c, (1, 1), use_bias=False, dtype=self.dtype,
+        v = nn.Conv(qkv_ch, (1, 1), use_bias=False, dtype=self.dtype,
                     kernel_init=init, name="value_conv")(xk)
         v = heads_split(v, kh, kw)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
-        out = out.transpose(0, 2, 1, 3).reshape(b, qh, qw, c)
+        out = out.transpose(0, 2, 1, 3).reshape(b, qh, qw, qkv_ch)
         out = nn.Conv(c, (1, 1), dtype=self.dtype,
                       kernel_init=nn.initializers.zeros,
                       name="proj_conv")(out)

@@ -206,17 +206,26 @@ def roi_align(features, rois, output_size, spatial_scale=1.0,
 
 def generic_roi_align(features, rois, output_size, featmap_strides,
                       sampling_ratio=2, aligned=True, roi_valid=None,
-                      aggregation="sum"):
+                      aggregation="sum", pre=None, post=None):
     """All-level RoI extraction (reference ``GenericRoIExtractor``,
     ``mmdet/models/roi_heads/roi_extractors/generic_roi_extractor.py``):
-    every RoI is pooled from EVERY level and the results are fused."""
+    every RoI is pooled from EVERY level and the results are fused.
+
+    ``pre``/``post`` are the GRoIE plugin callables (groie configs):
+    ``pre`` is applied to each level's pooled features before aggregation
+    (one shared module), ``post`` to the fused result
+    (reference ``generic_roi_extractor.py:62-84``)."""
     outs = []
     for feat, stride in zip(features, featmap_strides):
         out = roi_align(feat, rois, output_size, 1.0 / stride,
                         sampling_ratio, aligned)
+        if pre is not None:
+            out = pre(out)
         outs.append(out)
     fused = sum(outs) if aggregation == "sum" else \
         jnp.concatenate(outs, axis=-1)
+    if post is not None:
+        fused = post(fused)
     if roi_valid is not None:
         fused = fused * roi_valid[:, None, None, None].astype(fused.dtype)
     return fused

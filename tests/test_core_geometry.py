@@ -248,3 +248,33 @@ def test_random_sampler_jit_and_vmap():
     fn = jax.jit(jax.vmap(lambda r, a: random_sample(r, a, 32, 0.25)))
     out = fn(rngs, assigned)
     assert out["inds"].shape == (4, 32)
+
+
+def test_legacy_anchor_generator_exact():
+    """Exact values from the reference docstring
+    (``anchor_generator.py:511-520``): LegacyAnchorGenerator([16], [1.],
+    [1.], [9], center_offset=0.5) on a 2x2 grid."""
+    from bonai_tpu.core.anchors import LegacyAnchorGenerator
+    gen = LegacyAnchorGenerator(strides=[16], ratios=[1.0], scales=[1.0],
+                                base_sizes=[9], center_offset=0.5)
+    anchors = gen.grid_anchors([(2, 2)])[0]
+    np.testing.assert_allclose(
+        anchors,
+        [[0., 0., 8., 8.], [16., 0., 24., 8.],
+         [0., 16., 8., 24.], [16., 16., 24., 24.]])
+
+
+def test_legacy_delta_coder_roundtrip():
+    """legacy encode/decode invert each other and differ from v2 by the
+    +1 size convention (reference legacy_delta_xywh_bbox_coder.py)."""
+    import jax.numpy as jnp
+    from bonai_tpu.core.boxes import bbox2delta, delta2bbox
+    props = jnp.asarray([[0., 0., 10., 10.], [5., 5., 40., 30.]])
+    gts = jnp.asarray([[2., 1., 12., 8.], [4., 6., 38., 32.]])
+    deltas = bbox2delta(props, gts, legacy=True)
+    back = delta2bbox(props, deltas, legacy=True)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(gts),
+                               atol=1e-4)
+    # v2 deltas differ (the +1 convention changes pw/ph)
+    d2 = bbox2delta(props, gts, legacy=False)
+    assert float(jnp.abs(deltas - d2).max()) > 1e-3
