@@ -1,49 +1,6 @@
-# Faster R-CNN R50-FPN 1x on COCO-format data
+# Faster R-CNN R50-FPN 1x on COCO
 # (reference: configs/faster_rcnn/faster_rcnn_r50_fpn_1x_coco.py)
 _base_ = ['../_base_/models/faster_rcnn_r50_fpn.py',
+          '../_base_/datasets/coco_detection.py',
+          '../_base_/schedules/schedule_1x.py',
           '../_base_/default_runtime.py']
-
-dataset_type = 'CocoDataset'
-data_root = 'data/coco/'
-img_norm_cfg = dict(mean=[123.675, 116.28, 103.53],
-                    std=[58.395, 57.12, 57.375], to_rgb=True)
-train_pipeline = [
-    dict(type='LoadImageFromFile'),
-    dict(type='LoadAnnotations', with_bbox=True),
-    dict(type='Resize', img_scale=(1333, 800), keep_ratio=True),
-    dict(type='RandomFlip', flip_ratio=0.5),
-    dict(type='Normalize', **img_norm_cfg),
-    dict(type='Pad', size_divisor=32),
-    dict(type='DefaultFormatBundle'),
-    dict(type='Collect', keys=['img', 'gt_bboxes', 'gt_labels']),
-]
-test_pipeline = [
-    dict(type='LoadImageFromFile'),
-    dict(type='MultiScaleFlipAug', img_scale=(1333, 800), flip=False,
-         transforms=[
-             dict(type='Resize', keep_ratio=True),
-             dict(type='RandomFlip', flip_ratio=0.5),
-             dict(type='Normalize', **img_norm_cfg),
-             dict(type='Pad', size_divisor=32),
-             dict(type='ImageToTensor', keys=['img']),
-             dict(type='Collect', keys=['img']),
-         ])
-]
-data = dict(
-    samples_per_gpu=2, workers_per_gpu=2, max_gt=128, inst_mask_size=112,
-    train=dict(type=dataset_type,
-               ann_file=data_root + 'annotations/instances_train2017.json',
-               img_prefix=data_root + 'train2017/',
-               pipeline=train_pipeline),
-    val=dict(type=dataset_type,
-             ann_file=data_root + 'annotations/instances_val2017.json',
-             img_prefix=data_root + 'val2017/', pipeline=test_pipeline),
-    test=dict(type=dataset_type,
-              ann_file=data_root + 'annotations/instances_val2017.json',
-              img_prefix=data_root + 'val2017/', pipeline=test_pipeline))
-evaluation = dict(interval=1, metric='bbox')
-optimizer = dict(type='SGD', lr=0.02, momentum=0.9, weight_decay=0.0001)
-optimizer_config = dict(grad_clip=None)
-lr_config = dict(policy='step', warmup='linear', warmup_iters=500,
-                 warmup_ratio=0.001, step=[8, 11])
-total_epochs = 12

@@ -1,0 +1,5 @@
+# (reference: configs/faster_rcnn/faster_rcnn_r50_fpn_2x_coco.py)
+_base_ = ['../_base_/models/faster_rcnn_r50_fpn.py',
+          '../_base_/datasets/coco_detection.py',
+          '../_base_/schedules/schedule_2x.py',
+          '../_base_/default_runtime.py']

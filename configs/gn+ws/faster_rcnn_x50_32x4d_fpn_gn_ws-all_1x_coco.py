@@ -1,0 +1,6 @@
+# (reference: configs/gn+ws/faster_rcnn_x50_32x4d_fpn_gn_ws-all_1x_coco.py)
+_base_ = './faster_rcnn_r50_fpn_gn_ws-all_1x_coco.py'
+model = dict(
+    pretrained='open-mmlab://jhu/resnext50_32x4d_gn_ws',
+    backbone=dict(type='ResNeXt', depth=50, groups=32,
+                  base_width=4))

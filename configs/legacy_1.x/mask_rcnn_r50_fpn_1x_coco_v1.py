@@ -1,0 +1,26 @@
+# (reference: configs/legacy_1.x/mask_rcnn_r50_fpn_1x_coco_v1.py)
+_base_ = '../mask_rcnn/mask_rcnn_r50_fpn_1x_coco.py'
+model = dict(
+    rpn_head=dict(
+        anchor_generator=dict(type='LegacyAnchorGenerator',
+                              center_offset=0.5, scales=[8],
+                              ratios=[0.5, 1.0, 2.0],
+                              strides=[4, 8, 16, 32, 64]),
+        bbox_coder=dict(type='LegacyDeltaXYWHBBoxCoder',
+                        target_means=[0.0, 0.0, 0.0, 0.0],
+                        target_stds=[1.0, 1.0, 1.0, 1.0])),
+    roi_head=dict(
+        bbox_roi_extractor=dict(
+            type='SingleRoIExtractor',
+            roi_layer=dict(type='RoIAlign', output_size=7,
+                           sampling_ratio=2),
+            out_channels=256, featmap_strides=[4, 8, 16, 32]),
+        bbox_head=dict(
+            bbox_coder=dict(type='LegacyDeltaXYWHBBoxCoder',
+                            target_means=[0.0, 0.0, 0.0, 0.0],
+                            target_stds=[0.1, 0.1, 0.2, 0.2])),
+        mask_roi_extractor=dict(
+            type='SingleRoIExtractor',
+            roi_layer=dict(type='RoIAlign', output_size=14,
+                           sampling_ratio=2),
+            out_channels=256, featmap_strides=[4, 8, 16, 32])))

@@ -1,0 +1,51 @@
+# (reference: configs/pascal_voc/faster_rcnn_r50_fpn_1x_voc0712.py)
+_base_ = ['../_base_/models/faster_rcnn_r50_fpn.py',
+          '../_base_/default_runtime.py']
+model = dict(roi_head=dict(bbox_head=dict(num_classes=20)))
+dataset_type = 'VOCDataset'
+data_root = 'data/VOCdevkit/'
+img_norm_cfg = dict(
+    mean=[123.675, 116.28, 103.53], std=[58.395, 57.12, 57.375], to_rgb=True)
+train_pipeline = [
+    dict(type='LoadImageFromFile'),
+    dict(type='LoadAnnotations', with_bbox=True),
+    dict(type='Resize', img_scale=(1000, 600), keep_ratio=True),
+    dict(type='RandomFlip', flip_ratio=0.5),
+    dict(type='Normalize', **img_norm_cfg),
+    dict(type='Pad', size_divisor=32),
+    dict(type='DefaultFormatBundle'),
+    dict(type='Collect', keys=['img', 'gt_bboxes', 'gt_labels']),
+]
+test_pipeline = [
+    dict(type='LoadImageFromFile'),
+    dict(type='MultiScaleFlipAug', img_scale=(1000, 600), flip=False,
+         transforms=[
+             dict(type='Resize', keep_ratio=True),
+             dict(type='RandomFlip', flip_ratio=0.5),
+             dict(type='Normalize', **img_norm_cfg),
+             dict(type='Pad', size_divisor=32),
+             dict(type='ImageToTensor', keys=['img']),
+             dict(type='Collect', keys=['img']),
+         ])
+]
+data = dict(
+    samples_per_gpu=2, workers_per_gpu=2, max_gt=128,
+    train=dict(
+        type=dataset_type,
+        ann_file=[data_root + 'VOC2007/ImageSets/Main/trainval.txt',
+                  data_root + 'VOC2012/ImageSets/Main/trainval.txt'],
+        img_prefix=[data_root + 'VOC2007/', data_root + 'VOC2012/'],
+        pipeline=train_pipeline),
+    val=dict(type=dataset_type,
+             ann_file=data_root + 'VOC2007/ImageSets/Main/test.txt',
+             img_prefix=data_root + 'VOC2007/', pipeline=test_pipeline),
+    test=dict(type=dataset_type,
+              ann_file=data_root + 'VOC2007/ImageSets/Main/test.txt',
+              img_prefix=data_root + 'VOC2007/', pipeline=test_pipeline))
+evaluation = dict(interval=1, metric='mAP')
+optimizer = dict(type='SGD', lr=0.01, momentum=0.9,
+                 weight_decay=0.0001)
+optimizer_config = dict(grad_clip=None)
+lr_config = dict(policy='step', warmup='linear', warmup_iters=500,
+                 warmup_ratio=0.001, step=[3])
+total_epochs = 4  # actual epoch = 4 * 3 = 12 (VOC07+12 concat)

@@ -1,0 +1,76 @@
+# (reference: configs/pascal_voc/ssd512_voc0712.py)
+_base_ = ['../_base_/default_runtime.py']
+input_size = 512
+model = dict(
+    type='SSD',
+    pretrained='open-mmlab://vgg16_caffe',
+    backbone=dict(type='SSDVGG', input_size=input_size, depth=16,
+                  with_last_pool=False, ceil_mode=True,
+                  out_indices=(3, 4), out_feature_indices=(22, 34),
+                  l2_norm_scale=20),
+    neck=None,
+    bbox_head=dict(type='SSDHead',
+                   in_channels=(512, 1024, 512, 256, 256, 256, 256),
+                   num_classes=20,
+                   anchor_generator=dict(
+                       type='SSDAnchorGenerator', scale_major=False,
+                       input_size=input_size,
+                       basesize_ratio_range=(0.15, 0.9),
+                       strides=[8, 16, 32, 64, 128, 256, 512],
+                       ratios=[[2], [2, 3], [2, 3], [2, 3], [2, 3], [2], [2]]),
+                   bbox_coder=dict(type='DeltaXYWHBBoxCoder',
+                                   target_means=[.0, .0, .0, .0],
+                                   target_stds=[0.1, 0.1, 0.2, 0.2])))
+train_cfg = dict(
+    assigner=dict(type='MaxIoUAssigner', pos_iou_thr=0.5,
+                  neg_iou_thr=0.5, min_pos_iou=0., ignore_iof_thr=-1,
+                  gt_max_assign_all=False),
+    smoothl1_beta=1., allowed_border=-1, pos_weight=-1,
+    neg_pos_ratio=3, debug=False)
+test_cfg = dict(nms=dict(type='nms', iou_threshold=0.45),
+                min_bbox_size=0, score_thr=0.02, max_per_img=200)
+img_norm_cfg = dict(mean=[123.675, 116.28, 103.53],
+                    std=[1, 1, 1], to_rgb=True)
+train_pipeline = [
+    dict(type='LoadImageFromFile'),
+    dict(type='LoadAnnotations', with_bbox=True),
+    dict(type='Resize', img_scale=(512, 512), keep_ratio=False),
+    dict(type='RandomFlip', flip_ratio=0.5),
+    dict(type='Normalize', **img_norm_cfg),
+    dict(type='Pad', size_divisor=1),
+    dict(type='DefaultFormatBundle'),
+    dict(type='Collect', keys=['img', 'gt_bboxes', 'gt_labels']),
+]
+test_pipeline = [
+    dict(type='LoadImageFromFile'),
+    dict(type='MultiScaleFlipAug', img_scale=(512, 512), flip=False,
+         transforms=[
+             dict(type='Resize', keep_ratio=False),
+             dict(type='Normalize', **img_norm_cfg),
+             dict(type='Pad', size_divisor=1),
+             dict(type='ImageToTensor', keys=['img']),
+             dict(type='Collect', keys=['img']),
+         ])
+]
+dataset_type = 'VOCDataset'
+data_root = 'data/VOCdevkit/'
+data = dict(
+    samples_per_gpu=8, workers_per_gpu=2, max_gt=128,
+    train=dict(
+        type=dataset_type,
+        ann_file=[data_root + 'VOC2007/ImageSets/Main/trainval.txt',
+                  data_root + 'VOC2012/ImageSets/Main/trainval.txt'],
+        img_prefix=[data_root + 'VOC2007/', data_root + 'VOC2012/'],
+        pipeline=train_pipeline),
+    val=dict(type=dataset_type,
+             ann_file=data_root + 'VOC2007/ImageSets/Main/test.txt',
+             img_prefix=data_root + 'VOC2007/', pipeline=test_pipeline),
+    test=dict(type=dataset_type,
+              ann_file=data_root + 'VOC2007/ImageSets/Main/test.txt',
+              img_prefix=data_root + 'VOC2007/', pipeline=test_pipeline))
+evaluation = dict(interval=1, metric='mAP')
+optimizer = dict(type='SGD', lr=1e-3, momentum=0.9, weight_decay=5e-4)
+optimizer_config = dict(grad_clip=None)
+lr_config = dict(policy='step', warmup='linear', warmup_iters=500,
+                 warmup_ratio=0.001, step=[16, 20])
+total_epochs = 24
