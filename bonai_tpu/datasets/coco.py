@@ -75,14 +75,17 @@ class CocoDataset:
         return [a["category_id"] for a in anns]
 
     def _parse_ann_info(self, img_info, ann_info):
-        bboxes, labels, masks = [], [], []
+        bboxes, labels, masks, bboxes_ignore = [], [], [], []
         for ann in ann_info:
-            if ann.get("ignore", False) or ann.get("iscrowd", False):
-                continue
             x1, y1, w, h = ann["bbox"]
             if ann.get("area", w * h) <= 0 or w < 1 or h < 1:
                 continue
             if ann["category_id"] not in self.cat2label:
+                continue
+            if ann.get("ignore", False) or ann.get("iscrowd", False):
+                # crowd regions become ignore boxes (reference
+                # coco.py:123-233 gt_bboxes_ignore)
+                bboxes_ignore.append([x1, y1, x1 + w, y1 + h])
                 continue
             bboxes.append([x1, y1, x1 + w, y1 + h])
             labels.append(self.cat2label[ann["category_id"]])
@@ -91,6 +94,8 @@ class CocoDataset:
             bboxes=np.asarray(bboxes, np.float32).reshape(-1, 4),
             labels=np.asarray(labels, np.int64),
             masks=masks,
+            bboxes_ignore=np.asarray(bboxes_ignore,
+                                     np.float32).reshape(-1, 4),
             offsets=np.zeros((len(bboxes), 2), np.float32),
         )
 
