@@ -84,3 +84,21 @@ def inference_detector(model, variables, cfg, img):
                       jnp.asarray([sf]), method="simple_test")
     meta = out.get("img_metas", {"ori_shape": out.get("ori_shape")})
     return results_to_host(jax.device_get(dev), [meta])[0]
+
+
+async def async_inference_detector(model, variables, cfg, img):
+    """Asyncio wrapper over :func:`inference_detector` (reference
+    ``mmdet/apis/inference.py:119`` ``async_inference_detector``).
+
+    The reference releases the GIL around CUDA work via custom stream
+    contextmanagers (``utils/contextmanagers.py:16-90``); on TPU the jax
+    dispatch queue already overlaps host and device, so the async analog
+    offloads the blocking pipeline+device call to the default executor —
+    multiple coroutines overlap host preprocessing with device compute.
+    Use :func:`bonai_tpu.utils.async_utils.concurrent` to bound in-flight
+    requests.
+    """
+    import asyncio
+    loop = asyncio.get_event_loop()
+    return await loop.run_in_executor(
+        None, inference_detector, model, variables, cfg, img)
