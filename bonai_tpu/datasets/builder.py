@@ -21,10 +21,12 @@ DATASETS = Registry("dataset")
 def _register_defaults():
     from .coco import CocoDataset
     from .bonai import BONAI
-    from .extra import (CityscapesDataset, LVISDataset, VOCDataset,
-                        WIDERFaceDataset, XMLDataset)
+    from .extra import (CityscapesDataset, DeepFashionDataset,
+                        LVISDataset, VOCDataset, WIDERFaceDataset,
+                        XMLDataset)
     for cls in (CocoDataset, BONAI, VOCDataset, XMLDataset, LVISDataset,
-                CityscapesDataset, WIDERFaceDataset):
+                CityscapesDataset, WIDERFaceDataset,
+                DeepFashionDataset):
         if cls.__name__ not in DATASETS:
             DATASETS.register_module(module=cls)
 

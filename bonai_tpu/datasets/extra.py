@@ -156,3 +156,11 @@ class CityscapesDataset(CocoDataset):
     """reference ``cityscapes.py:33-321`` (COCO-converted jsons)."""
     CLASSES = ("person", "rider", "car", "truck", "bus", "train",
                "motorcycle", "bicycle")
+
+
+class DeepFashionDataset(CocoDataset):
+    """reference ``deepfashion.py:1-14`` (COCO-format DeepFashion2
+    landmark/segmentation jsons)."""
+    CLASSES = ("top", "skirt", "leggings", "dress", "outer", "pants",
+               "bag", "neckwear", "headwear", "eyeglass", "belt",
+               "footwear", "hair", "skin", "face")
