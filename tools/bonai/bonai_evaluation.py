@@ -83,6 +83,11 @@ def main():
         gt = load_csv(args.gt_roof_csv)
     else:
         parser.error("need --gt-json or --gt-roof-csv")
+    if args.merge:
+        # merged pred records are keyed by the extension-less scene stem
+        # (merge_crop_records); normalize GT file_name keys to match
+        gt = {k.rsplit(".", 1)[0] if "." in k else k: v
+              for k, v in gt.items()}
 
     summary = {}
     for key, name in (("polygon", "roof"),

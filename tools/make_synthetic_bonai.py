@@ -193,6 +193,143 @@ def make_tile(rng, size=1024):
     return img, buildings, dict(theta=theta, off_nadir=off_nadir)
 
 
+def _clip_half(poly, cx0, cy0, cx1, cy1):
+    """Sutherland–Hodgman: keep the part of ``poly`` left of the directed
+    edge (cx0,cy0)->(cx1,cy1)."""
+    ex, ey = cx1 - cx0, cy1 - cy0
+    out = []
+    n = len(poly)
+    for i in range(n):
+        px, py = poly[i]
+        qx, qy = poly[(i + 1) % n]
+        dp = ex * (py - cy0) - ey * (px - cx0)
+        dq = ex * (qy - cy0) - ey * (qx - cx0)
+        if dp >= 0:
+            out.append((px, py))
+            if dq < 0:
+                t = dp / (dp - dq)
+                out.append((px + t * (qx - px), py + t * (qy - py)))
+        elif dq >= 0:
+            t = dp / (dp - dq)
+            out.append((px + t * (qx - px), py + t * (qy - py)))
+    return out
+
+
+def _clip_rect(poly, x0, y0, x1, y1):
+    """Clip polygon (array (n,2)) to [x0,x1]x[y0,y1]; returns (m,2) array
+    (possibly empty)."""
+    p = [tuple(q) for q in np.asarray(poly, np.float64)]
+    for edge in (((x0, y0), (x1, y0)), ((x1, y0), (x1, y1)),
+                 ((x1, y1), (x0, y1)), ((x0, y1), (x0, y0))):
+        p = _clip_half(p, *edge[0], *edge[1])
+        if len(p) < 3:
+            return np.zeros((0, 2))
+    return np.asarray(p)
+
+
+def _shoelace(poly):
+    if len(poly) < 3:
+        return 0.0
+    x, y = poly[:, 0], poly[:, 1]
+    return abs(float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))) / 2
+
+
+def _ann_from_parts(aid, img_id, roof_parts, fp_poly, off, height):
+    """One BONAI-schema annotation dict from roof polygon parts + the
+    footprint outline polygon."""
+    bx = _poly_bbox(roof_parts + [fp_poly])
+    rx1, ry1, rx2, ry2 = _poly_bbox(roof_parts)
+    fx1, fy1, fx2, fy2 = _poly_bbox([fp_poly])
+    return dict(
+        id=aid, image_id=img_id, category_id=1,
+        bbox=[rx1, ry1, rx2 - rx1, ry2 - ry1],
+        building_bbox=[bx[0], bx[1], bx[2] - bx[0], bx[3] - bx[1]],
+        footprint_bbox=[fx1, fy1, fx2 - fx1, fy2 - fy1],
+        roof_bbox=[rx1, ry1, rx2 - rx1, ry2 - ry1],
+        segmentation=[p.reshape(-1).tolist() for p in roof_parts],
+        footprint_mask=fp_poly.reshape(-1).tolist(),
+        offset=[float(off[0]), float(off[1])],
+        building_height=float(height),
+        area=float((rx2 - rx1) * (ry2 - ry1)),
+        iscrowd=0, only_footprint=0)
+
+
+def write_scene_split(out, name, n_scenes, seed, scene_size=2048,
+                      crop=1024, min_clip_area=60.0):
+    """Generate true ``scene_size``² originals AND their ``crop``² tiles
+    named ``scene{i}__{x}_{y}.png`` (the real BONAI crop protocol:
+    reference ``tools/bonai/bonai_evaluation.py:104-112`` merges crop CSVs
+    back to original-image coordinates by parsing that suffix).
+
+    Writes two datasets:
+      {out}/{name}/            crop tiles + {name}.json   (crop coords)
+      {out}/{name}_originals/  scene images + json        (scene coords)
+
+    Buildings spanning a crop boundary appear clipped in the crop json
+    (like the real crop1024 annotations) but whole in the originals json,
+    so crop-level and merged scene-level F1 measure genuinely different
+    things.
+    """
+    import cv2
+    crop_dir = osp.join(out, name, "images")
+    orig_dir = osp.join(out, name + "_originals", "images")
+    os.makedirs(crop_dir, exist_ok=True)
+    os.makedirs(orig_dir, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    o_images, o_anns, c_images, c_anns = [], [], [], []
+    o_aid = c_aid = 1
+    cid = 0
+    for i in range(n_scenes):
+        img, buildings, meta = make_tile(rng, scene_size)
+        stem = f"scene{i:04d}"
+        cv2.imwrite(osp.join(orig_dir, stem + ".png"), img)
+        o_images.append(dict(id=i, file_name=stem + ".png",
+                             width=scene_size, height=scene_size,
+                             offset_angle=dict(angle=meta["off_nadir"])))
+        for b in buildings:
+            fp_poly = _union_outline(b["fp"])
+            o_anns.append(_ann_from_parts(
+                o_aid, i, [np.asarray(p) for p in b["roof"]], fp_poly,
+                b["off"], b["height"]))
+            o_aid += 1
+        for y in range(0, scene_size, crop):
+            for x in range(0, scene_size, crop):
+                cname = f"{stem}__{x}_{y}.png"
+                cv2.imwrite(osp.join(crop_dir, cname),
+                            img[y:y + crop, x:x + crop])
+                c_images.append(dict(
+                    id=cid, file_name=cname, width=crop, height=crop,
+                    offset_angle=dict(angle=meta["off_nadir"])))
+                shift = np.array([x, y], np.float64)
+                for b in buildings:
+                    roof_parts = []
+                    for p in b["roof"]:
+                        cp = _clip_rect(p, x, y, x + crop, y + crop)
+                        if _shoelace(cp) >= min_clip_area:
+                            roof_parts.append(cp - shift)
+                    if not roof_parts:
+                        continue
+                    fp_poly = _clip_rect(_union_outline(b["fp"]),
+                                         x, y, x + crop, y + crop)
+                    if _shoelace(fp_poly) < min_clip_area:
+                        continue
+                    c_anns.append(_ann_from_parts(
+                        c_aid, cid, roof_parts, fp_poly - shift,
+                        b["off"], b["height"]))
+                    c_aid += 1
+                cid += 1
+        if (i + 1) % 10 == 0:
+            print(f"{name}: scene {i + 1}/{n_scenes}", flush=True)
+    for tag, images, anns in ((name, c_images, c_anns),
+                              (name + "_originals", o_images, o_anns)):
+        ds = dict(images=images, annotations=anns,
+                  categories=[dict(id=1, name="building")])
+        jp = osp.join(out, tag, f"{tag}.json")
+        with open(jp, "w") as f:
+            json.dump(ds, f)
+        print(f"wrote {jp}: {len(images)} images, {len(anns)} anns")
+
+
 def write_split(out, name, n_tiles, seed, size=1024, stems=None):
     import cv2
     img_dir = osp.join(out, name, "images")
@@ -245,16 +382,20 @@ def main():
     ap.add_argument("--val", type=int, default=200)
     ap.add_argument("--size", type=int, default=1024)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--val-scenes", type=int, default=None,
+                    help="generate the val split as N true 2*size scenes "
+                         "cropped into size tiles (__x_y naming) instead "
+                         "of independent tiles")
     args = ap.parse_args()
-    write_split(args.out, "train", args.train, args.seed, args.size)
-    # val tiles follow the crop-naming convention so the evaluator's
-    # crop->scene merge path is exercised (reference merged-CSV protocol)
-    def val_stem(i):
-        scene, k = divmod(i, 4)
-        return f"scene{scene:04d}__{(k % 2) * args.size}_" \
-               f"{(k // 2) * args.size}"
-    write_split(args.out, "val", args.val, args.seed + 77, args.size,
-                stems=val_stem)
+    if args.train:
+        write_split(args.out, "train", args.train, args.seed, args.size)
+    if args.val_scenes:
+        # true originals + crops: exercises the evaluator's crop->scene
+        # merge path on buildings genuinely split across crop boundaries
+        write_scene_split(args.out, "val", args.val_scenes, args.seed + 77,
+                          scene_size=2 * args.size, crop=args.size)
+    elif args.val:
+        write_split(args.out, "val", args.val, args.seed + 77, args.size)
 
 
 if __name__ == "__main__":
