@@ -141,6 +141,13 @@ def _fwd_kernel(oh, ow, sr, window, C, R, dtype,
                 rows_ref[roi * n_strips + j], 8), window), :],
             buf.at[slot, j], sems.at[slot, j])
 
+    # NB: the forward intentionally fetches ALL strips, duplicates
+    # included.  A first-occurrence-gated fetch + dedup-select matmul
+    # was measured SLOWER on hardware (bbox branch 6.1 -> 11.4 ms): the
+    # (2ny, 2ny) x (2ny, window*C) reconstruction matmul writes ~1.4 MB
+    # of VMEM per RoI, which costs more than the skipped descriptors.
+    # The backward is different — skipped read strips there need no
+    # reconstruction at all (they are never written back).
     @pl.when(r == 0)
     def _():
         for j in range(n_strips):
@@ -173,7 +180,7 @@ def _fwd_kernel(oh, ow, sr, window, C, R, dtype,
 
 def _bwd_kernel(oh, ow, sr, window, C, R, mmax, chains, acc_dtype,
                 rows_ref, focc_ref, wl_ref, e0_ref, lx_ref, ly_ref,
-                rows_vec_ref, g_ref, dflat_in_ref, dflat_ref,
+                rows_vec_ref, focc_vec_ref, g_ref, dflat_in_ref, dflat_ref,
                 rbuf, wbuf, rsems, wsems):
     # dflat_in_ref is aliased to dflat_ref (same HBM buffer); all
     # reads/writes go through the output ref.
@@ -222,8 +229,13 @@ def _bwd_kernel(oh, ow, sr, window, C, R, mmax, chains, acc_dtype,
             def _():
                 write_dma_for(r - chains, j).wait()
 
+    # non-first duplicate strips are never written back (write gated on
+    # first_occ), so their stale rbuf content is irrelevant: skip their
+    # read DMAs too — the kernel is descriptor-issue-bound
     for j in range(n_strips):
-        read_dma(r, j).start()
+        @pl.when(focc_ref[r * n_strips + j] == 1)
+        def _(j=j):
+            read_dma(r, j).start()
 
     # matmul operands/results in the accumulate dtype (bf16 in
     # production): keeps the kernel's VMEM stack under the 16MB scoped
@@ -238,24 +250,31 @@ def _bwd_kernel(oh, ow, sr, window, C, R, mmax, chains, acc_dtype,
     gs = jnp.broadcast_to(g[:, None, :, None, :],
                           (oh, sr, ow, sr, C)).reshape(ny, nx, C)
     gs = gs / float(sr * sr)
-    # dG[x, t, y, c] = gs[y, x, c] * wy[t, y]
-    dG = (gs.transpose(1, 0, 2)[:, None]
-          * wy[None, :, :, None]).astype(mm)
-    dG = dG.reshape(nx, n_strips * C)
-    dFm = jax.lax.dot_general(
-        wx.astype(mm), dG,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(mm)    # (window, 2ny*C)
-    dstrips = dFm.reshape(window, n_strips, C).transpose(1, 0, 2)
+    # strip-major per-sample grads, built 2-D (no 4-D broadcasts — Mosaic
+    # rejects multi-trailing-1 reshapes; no transposes — VMEM stack):
+    # dG[t*ny + y, x*C + c] = gs[y, x, c] * wy[t, y]
+    gs2 = gs.reshape(ny, nx * C).astype(mm)
+    dGst = jnp.concatenate(
+        [gs2 * wy[0][:, None].astype(mm),
+         gs2 * wy[1][:, None].astype(mm)], axis=0)        # (2ny, nx*C)
     # intra-RoI dedup: rows repeated across strips combine into the first
-    # occurrence (E @ dstrips sums duplicates; non-first rows not written)
+    # occurrence.  The E contraction commutes with the wx matmul (both
+    # are linear, over different axes), and applying it BEFORE is
+    # nx/window times cheaper (the strip axis is contracted against nx
+    # columns instead of window columns) — the kernel is MXU-bound, so
+    # this ordering is a direct ~30-45% compute cut.
     rv = rows_vec_ref[r]                                 # (2ny,) int32
     E = (rv[:, None] == rv[None, :]).astype(mm)
-    combined = jax.lax.dot_general(
-        E, dstrips.reshape(n_strips, window * C),
+    dGc = jax.lax.dot_general(
+        E, dGst,
         dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(mm).reshape(
-            n_strips, window, C)
+        preferred_element_type=jnp.float32).astype(mm)    # (2ny, nx*C)
+    dGc = dGc.reshape(n_strips, nx, C).transpose(1, 0, 2)  # (nx, 2ny, C)
+    dFm = jax.lax.dot_general(
+        wx.astype(mm), dGc.reshape(nx, n_strips * C),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(mm)    # (window, 2ny*C)
+    combined = dFm.reshape(window, n_strips, C).transpose(1, 0, 2)
 
     # Symmetric partial-overlap sums: when the RoI's level is narrower
     # than the window, strips at row distance m*Wl overlap.  Every strip
@@ -263,10 +282,14 @@ def _bwd_kernel(oh, ow, sr, window, C, R, mmax, chains, acc_dtype,
     # unordered completion of overlapping write DMAs is benign.  Partner
     # contributions are gathered with a one-hot strip matmul and shifted
     # into place with a band-matrix matmul (dist is a traced scalar).
-    def _gather_shift(partner_mask, dist, left):
+    def _gather_shift(partner_mask_f, dist, left):
+        # partner contributions from the dedup TOTALS: every duplicate
+        # strip of a row holds the row's total, so masking partners to
+        # first occurrences picks each total exactly once (a per-strip
+        # recompute here would blow the VMEM stack)
         ps = jax.lax.dot_general(
-            partner_mask.astype(mm),
-            dstrips.reshape(n_strips, window * C),
+            partner_mask_f,
+            combined.reshape(n_strips, window * C),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).astype(mm)  # (S, window*C)
         ps = ps.reshape(n_strips, window, C)
@@ -283,7 +306,9 @@ def _bwd_kernel(oh, ow, sr, window, C, R, mmax, chains, acc_dtype,
         return shifted.reshape(window, n_strips, C).transpose(1, 0, 2)
 
     for j in range(n_strips):
-        read_dma(r, j).wait()
+        @pl.when(focc_ref[r * n_strips + j] == 1)
+        def _(j=j):
+            read_dma(r, j).wait()
     # only THIS chain's slot: other slots may back in-flight write DMAs
     wbuf[chain] = rbuf[:] + combined
 
@@ -293,11 +318,14 @@ def _bwd_kernel(oh, ow, sr, window, C, R, mmax, chains, acc_dtype,
         # nothing
         @pl.when(wl_ref[r] < window)
         def _():
+            fv = focc_vec_ref[r].astype(mm)              # (2ny,)
             acc = jnp.zeros_like(combined)
             for m in range(1, mmax + 1):
                 dist = wl_ref[r] * m
-                below = (rv[:, None] - dist) == rv[None, :]  # k = j - m*Wl
-                above = (rv[:, None] + dist) == rv[None, :]  # k = j + m*Wl
+                below = ((rv[:, None] - dist) == rv[None, :]).astype(mm) \
+                    * fv[None, :]                        # k = j - m*Wl
+                above = ((rv[:, None] + dist) == rv[None, :]).astype(mm) \
+                    * fv[None, :]                        # k = j + m*Wl
                 acc = acc + _gather_shift(below, dist, left=True)
                 acc = acc + _gather_shift(above, dist, left=False)
             wbuf[chain] = wbuf[chain] + acc
@@ -370,6 +398,7 @@ def _pallas_bwd(g, plan, P, C, oh, ow, sr, window, mmax, interpret,
             pl.BlockSpec(memory_space=pltpu.VMEM),       # lx
             pl.BlockSpec(memory_space=pltpu.VMEM),       # ly
             pl.BlockSpec(memory_space=pltpu.VMEM),       # rows as vector
+            pl.BlockSpec(memory_space=pltpu.VMEM),       # first_occ vector
             pl.BlockSpec((1, oh, ow, C), lambda r, *_: (r, 0, 0, 0),
                          memory_space=pltpu.VMEM),       # upstream grad
             pl.BlockSpec(memory_space=pl.ANY),        # dflat (aliased)
@@ -385,14 +414,18 @@ def _pallas_bwd(g, plan, P, C, oh, ow, sr, window, mmax, interpret,
     kernel = functools.partial(_bwd_kernel, oh, ow, sr, window, C, R,
                                mmax, chains, acc_dtype)
     dflat0 = jnp.zeros((chains, P, C), acc_dtype)
+    # the mask branch (56 strips) peaks ~20 MB of scoped VMEM; the
+    # default 16 MB guard is conservative (v5e has 128 MB physical)
+    params = None if interpret else pltpu.CompilerParams(
+        vmem_limit_bytes=48 * 1024 * 1024)
     out = pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((chains, P, C), acc_dtype),
-        input_output_aliases={8: 0},   # dflat0 (3 scalar-prefetch + 5) -> out
-        interpret=interpret,
+        input_output_aliases={9: 0},   # dflat0 (3 scalar-prefetch + 6) -> out
+        interpret=interpret, compiler_params=params,
     )(plan["rows"].reshape(-1), plan["first_occ"].reshape(-1),
-      plan["wl"], plan["e0"], plan["lx"], plan["ly"], plan["rows"], g,
-      dflat0)
+      plan["wl"], plan["e0"], plan["lx"], plan["ly"], plan["rows"],
+      plan["first_occ"], g, dflat0)
     return jnp.sum(out.astype(jnp.float32), axis=0)
 
 
@@ -401,7 +434,7 @@ def pallas_multilevel_roi_align(features, rois, output_size,
                                 aligned=True, finest_scale=56,
                                 roi_valid=None, flat_pack=None, window=40,
                                 interpret=False, backward="rmw",
-                                chunk=2048):
+                                chunk=2048, chains=2):
     """Drop-in replacement for ``multilevel_roi_align`` with a Pallas
     strip-DMA forward (same contract; differentiable in the feature
     pyramid).
@@ -448,7 +481,7 @@ def pallas_multilevel_roi_align(features, rois, output_size,
                 features, rois_p[i * CHUNK:(i + 1) * CHUNK], output_size,
                 featmap_strides, sampling_ratio, aligned, finest_scale,
                 rv_p[i * CHUNK:(i + 1) * CHUNK], flat_pack, window,
-                interpret, backward, CHUNK)
+                interpret, backward, CHUNK, chains)
             for i in range(n_chunks)]
         return jnp.concatenate(outs, axis=0)[:R_total]
     plan = _plan(rois, consts, featmap_strides, output_size, sr, aligned,
@@ -484,7 +517,8 @@ def pallas_multilevel_roi_align(features, rois, output_size,
 
         def run_bwd(plan, g):
             dflat = _pallas_bwd(g, plan, P, C, oh, ow, sr, window, mmax,
-                                interpret, acc_dtype=acc_dtype)
+                                interpret, chains=chains,
+                                acc_dtype=acc_dtype)
             return dflat.astype(flat.dtype), _zero_plan(plan)
     else:
         from .roi_align import _bilinear_gather_bwd, multilevel_gather_plan
