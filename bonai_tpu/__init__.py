@@ -26,6 +26,25 @@ if "JAX_PLATFORMS" in _os.environ:
     except Exception:       # pragma: no cover - jax absent/locked
         pass
 
+try:
+    # Persistent XLA compile cache for every entry point (CLIs, bench,
+    # tests — conftest sets the same dir).  The LOFT train step is a
+    # multi-minute cold compile on the 1-core host; caching compiled
+    # executables makes reruns (resume, bonai_test after train, a second
+    # bench invocation) start in seconds.
+    import jax as _jax
+    if _jax.config.jax_compilation_cache_dir is None:
+        _cache = _os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            _os.path.expanduser("~/.cache/bonai_tpu_xla_cache"))
+        _os.makedirs(_cache, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        _jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+except Exception:            # pragma: no cover - jax absent/locked
+    pass
+
 from .version import __version__
 from .config import Config
 from .registry import Registry, build_from_cfg
