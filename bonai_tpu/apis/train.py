@@ -167,6 +167,10 @@ def train_detector(cfg, work_dir, seed=0, resume_from=None, load_from=None,
     log_interval = log_interval or cfg.get("log_config", {}).get("interval", 10)
     ckpt_interval = checkpoint_interval or cfg.get(
         "checkpoint_config", {}).get("interval", 1)
+    # reference CheckpointHook max_keep_ckpts: -1/None keeps everything
+    ckpt_max_keep = cfg.get("checkpoint_config", {}).get("max_keep_ckpts")
+    if ckpt_max_keep is not None and ckpt_max_keep <= 0:
+        ckpt_max_keep = None
 
     from ..engine.checkpoint import provenance_meta
     provenance = provenance_meta(cfg, getattr(dataset, "CLASSES", None))
@@ -242,7 +246,8 @@ def train_detector(cfg, work_dir, seed=0, resume_from=None, load_from=None,
         if (epoch + 1) % ckpt_interval == 0:
             save_checkpoint(work_dir, step, state,
                             meta=dict(epoch=epoch + 1, step=step,
-                                      **provenance))
+                                      **provenance),
+                            max_keep=ckpt_max_keep)
         eval_interval = cfg.get("evaluation", {}).get("interval", 0)
         if validate and eval_interval and (epoch + 1) % eval_interval == 0:
             _run_validation(model, state, cfg, history, val_ds)

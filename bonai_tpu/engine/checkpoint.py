@@ -38,8 +38,17 @@ def provenance_meta(cfg=None, classes=None):
     return meta
 
 
-def save_checkpoint(work_dir, step, state, meta=None):
-    """Save {params, opt_state, batch_stats, step} (+ json-able meta)."""
+def save_checkpoint(work_dir, step, state, meta=None, max_keep=None):
+    """Save {params, opt_state, batch_stats, step} (+ json-able meta).
+
+    ``max_keep`` mirrors the reference ``CheckpointHook``'s
+    ``max_keep_ckpts`` (mmcv hook used by
+    ``configs/_base_/default_runtime.py:1``): after a successful save the
+    oldest finalized checkpoints beyond the newest ``max_keep`` are
+    deleted.  Orbax finalizes atomically (temp dir + rename), so a save
+    killed mid-write never appears finalized and never triggers pruning
+    of the good checkpoints it would have displaced.
+    """
     path = osp.join(_mgr(work_dir), f"step_{int(step)}")
     ckpter = ocp.StandardCheckpointer()
     payload = {"params": state.params, "opt_state": state.opt_state,
@@ -50,7 +59,33 @@ def save_checkpoint(work_dir, step, state, meta=None):
         import json
         with open(osp.join(path, "meta.json"), "w") as f:
             json.dump(meta, f)
+    if max_keep and max_keep > 0:
+        import shutil
+        root = _mgr(work_dir)
+        done = sorted(_finalized_steps(root))
+        for s in done[:-max_keep]:
+            shutil.rmtree(osp.join(root, f"step_{s}"), ignore_errors=True)
     return path
+
+
+def _finalized_steps(root):
+    """Step numbers under ``root`` whose orbax save fully committed.
+
+    A save killed mid-write leaves either an orbax temp dir (never
+    matching ``step_*``'s final layout) or a ``step_N/state`` without the
+    ``_CHECKPOINT_METADATA`` commit marker; both are excluded so resume
+    never points at a torn checkpoint."""
+    steps = []
+    for d in os.listdir(root):
+        if not d.startswith("step_"):
+            continue
+        try:
+            s = int(d.split("_")[1])
+        except (IndexError, ValueError):
+            continue
+        if osp.isfile(osp.join(root, d, "state", "_CHECKPOINT_METADATA")):
+            steps.append(s)
+    return steps
 
 
 def load_meta(path):
@@ -64,11 +99,12 @@ def load_meta(path):
 
 
 def latest_checkpoint(work_dir):
+    """Newest FINALIZED checkpoint (torn mid-save dirs are skipped, so a
+    preempted run always resumes from the last good save)."""
     root = osp.abspath(osp.join(work_dir, "checkpoints"))
     if not osp.isdir(root):
         return None
-    steps = [int(d.split("_")[1]) for d in os.listdir(root)
-             if d.startswith("step_")]
+    steps = _finalized_steps(root)
     if not steps:
         return None
     return osp.join(root, f"step_{max(steps)}")
