@@ -11,7 +11,13 @@ branches on 256 RoIs ≈ +35% step time) → ≈ 3.5 img/s/GPU for LOFT-FOA.
 ``vs_baseline`` reports our img/s/chip against that 3.5 img/s/GPU figure
 (BASELINE.md north star: >3x).
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Also times the full inference/test path (RPN soft-NMS eval cfg + bbox/
+mask/FOA offset heads + multiclass NMS) on the same shapes, against the
+reference Mask R-CNN V100 yardstick of 19.6 fps
+(reference docs/model_zoo.md:211-221, tools/benchmark.py:62-93).
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline",
+"infer_metric", "infer_value", "infer_unit", "infer_vs_baseline"}.
 """
 
 import json
@@ -23,6 +29,7 @@ import time
 import numpy as np
 
 BASELINE_IMG_PER_SEC = 3.5
+BASELINE_INFER_FPS = 19.6
 REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 
 # Wedge-recovery protocol (see .claude/skills/verify/SKILL.md): the tunneled
@@ -196,11 +203,46 @@ def main():
     dt = (time.perf_counter() - t0) / iters
     img_per_sec = batch_size / dt
 
+    # ---- inference throughput (full test path: soft-NMS proposals, bbox
+    # decode + multiclass NMS, mask + FOA offset heads).  Chained
+    # iterations (next input depends on previous output) so the tunnel's
+    # per-dispatch latency is amortised but every iteration really runs.
+    infer_variables = {"params": state.params}
+    if state.batch_stats:
+        infer_variables["batch_stats"] = state.batch_stats
+    img = batch["image"]
+    shp = batch["img_shape"]
+    sf = jnp.ones((batch_size,))
+    infer_iters = 30
+
+    def chained_infer(v, im):
+        def body(_, carry):
+            im, acc = carry
+            out = model.apply(v, im, shp, sf, method="simple_test")
+            tie = out["det_scores"].astype(jnp.float32).sum()
+            im = im * (1.0 + 0.0 * tie.astype(im.dtype))
+            return im, acc + tie
+        _, acc = jax.lax.fori_loop(0, infer_iters, body,
+                                   (im, jnp.float32(0)))
+        return acc
+
+    run_infer = jax.jit(chained_infer)
+    _ = float(run_infer(infer_variables, img))      # warmup + compile
+    t0 = time.perf_counter()
+    _ = float(run_infer(infer_variables, img))      # fetch closes the clock
+    infer_dt = (time.perf_counter() - t0) / infer_iters
+    infer_img_per_sec = batch_size / infer_dt
+
     print(json.dumps({
         "metric": "loft_foa_train_images_per_sec_per_chip",
         "value": round(img_per_sec, 3),
         "unit": "img/s/chip",
         "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC, 3),
+        "infer_metric": "loft_foa_infer_images_per_sec_per_chip",
+        "infer_value": round(infer_img_per_sec, 3),
+        "infer_unit": "img/s/chip",
+        "infer_vs_baseline": round(infer_img_per_sec / BASELINE_INFER_FPS,
+                                   3),
     }))
 
 

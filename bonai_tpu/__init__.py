@@ -39,11 +39,17 @@ try:
             _os.path.expanduser("~/.cache/bonai_tpu_xla_cache"))
         _os.makedirs(_cache, exist_ok=True)
         _jax.config.update("jax_compilation_cache_dir", _cache)
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        # Library default: only cache compiles worth caching (tests set the
+        # thresholds to 0 in conftest.py where caching tiny compiles pays).
+        _min_secs = float(_os.environ.get(
+            "BONAI_CACHE_MIN_COMPILE_SECS", "1.0"))
+        _jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", _min_secs)
         _jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
-except Exception:            # pragma: no cover - jax absent/locked
-    pass
+except Exception as _e:      # pragma: no cover - jax absent/locked
+    import logging as _logging
+    _logging.getLogger(__name__).warning(
+        "persistent XLA compile cache disabled: %s", _e)
 
 from .version import __version__
 from .config import Config
