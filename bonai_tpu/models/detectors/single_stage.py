@@ -31,36 +31,41 @@ class RetinaNet(nn.Module):
     compute_dtype: str = "float32"
 
     def setup(self):
+        from .builders import build_backbone_m, build_neck_m
         dt = _dtype(self.compute_dtype)
-        bk = dict(self.backbone)
-        bk.pop("type", None)
-        self.backbone_m = ResNet(
-            depth=bk.get("depth", 50),
-            out_indices=tuple(bk.get("out_indices", (0, 1, 2, 3))),
-            frozen_stages=bk.get("frozen_stages", -1), dtype=dt,
-            name="backbone")
-        nk = dict(self.neck)
-        nk_type = nk.pop("type", "FPN")
-        if nk_type == "NASFPN":
-            from ..necks.nas_fpn import NASFPN
-            self.neck_m = NASFPN(
-                in_channels=tuple(nk.get("in_channels",
-                                         (512, 1024, 2048))),
-                out_channels=nk.get("out_channels", 256),
-                num_outs=nk.get("num_outs", 5),
-                stack_times=nk.get("stack_times", 7),
-                start_level=nk.get("start_level", 0),
-                dtype=dt, name="neck")
-        else:
-            self.neck_m = FPN(
-                in_channels=tuple(nk.get("in_channels",
-                                         (256, 512, 1024, 2048))),
-                out_channels=nk.get("out_channels", 256),
-                num_outs=nk.get("num_outs", 5),
-                start_level=nk.get("start_level", 1),
-                add_extra_convs=bool(nk.get("add_extra_convs", False)),
-                dtype=dt, name="neck")
+        self.backbone_m = build_backbone_m(self.backbone, dt)
+        self.neck_m = build_neck_m(self.neck, dt)
         bh = dict(self.bbox_head)
+        # Guided-Anchoring RetinaNet (reference configs/guided_anchoring/
+        # ga_retinanet_*: type='RetinaNet' with a GARetinaHead bbox_head)
+        self.ga_head = bh.get("type") == "GARetinaHead"
+        if self.ga_head:
+            from ..dense_heads.ga_rpn_head import GARetinaHead
+            self.num_classes = bh.get("num_classes", 80)
+            aag = dict(bh.get("approx_anchor_generator", {}))
+            self.ga_strides = [s if isinstance(s, (int, float)) else s[0]
+                               for s in aag.get("strides",
+                                                [8, 16, 32, 64, 128])]
+            self.ga_octave_base_scale = aag.get("octave_base_scale", 4)
+            self.ga_scales_per_octave = aag.get("scales_per_octave", 3)
+            self.ga_ratios = tuple(aag.get("ratios", (0.5, 1.0, 2.0)))
+            sag = dict(bh.get("square_anchor_generator", {}))
+            self.ga_square_scale = list(sag.get("scales", [4]))[0]
+            self.ga_loc_filter_thr = bh.get("loc_filter_thr", 0.01)
+            self.ga_target_stds = tuple(dict(bh.get(
+                "bbox_coder", {})).get("target_stds", (1., 1., 1., 1.)))
+            lc = dict(bh.get("loss_cls", {}))
+            self.focal_gamma = lc.get("gamma", 2.0)
+            self.focal_alpha = lc.get("alpha", 0.25)
+            self.head_m = GARetinaHead(
+                num_classes=self.num_classes,
+                in_channels=bh.get("in_channels", 256),
+                feat_channels=bh.get("feat_channels", 256),
+                stacked_convs=bh.get("stacked_convs", 4),
+                dtype=dt, name="bbox_head")
+            self.anchor_generator = None
+            self.loss_cls_cfg = self.loss_bbox_cfg = None
+            return
         ag = dict(bh.get("anchor_generator", dict(
             octave_base_scale=4, scales_per_octave=3,
             ratios=[0.5, 1.0, 2.0], strides=[8, 16, 32, 64, 128])))
@@ -100,8 +105,36 @@ class RetinaNet(nn.Module):
         return [jnp.asarray(a)
                 for a in self.anchor_generator.grid_anchors(sizes)]
 
+    def _ga_geometry(self, feats):
+        from ..dense_heads.ga_rpn_head import approx_anchors, square_anchors
+        sizes = [(int(f.shape[1]), int(f.shape[2])) for f in feats]
+        squares = [jnp.asarray(s) for s in square_anchors(
+            sizes, self.ga_strides, self.ga_square_scale)]
+        approxs = [jnp.asarray(a) for a in approx_anchors(
+            sizes, self.ga_strides, self.ga_octave_base_scale,
+            self.ga_scales_per_octave, self.ga_ratios)]
+        return sizes, squares, approxs
+
     def forward_train(self, batch):
         feats = self.extract_feat(batch["image"])
+        if self.ga_head:
+            from ..dense_heads.ga_rpn_head import ga_retina_loss
+            cls_scores, bbox_preds, shape_preds, loc_preds = \
+                self.head_m(feats)
+            sizes, squares, approxs = self._ga_geometry(feats)
+            rng = self.make_rng("sampling") \
+                if self.has_rng("sampling") else jax.random.PRNGKey(0)
+            tc = dict(self.train_cfg)
+            tc.setdefault("assigner", dict(pos_iou_thr=0.5,
+                                           neg_iou_thr=0.5,
+                                           min_pos_iou=0.0))
+            tc.setdefault("sampler", dict(num=256, pos_fraction=0.5))
+            return ga_retina_loss(
+                cls_scores, bbox_preds, shape_preds, loc_preds, squares,
+                approxs, batch["gt_bboxes"], batch["gt_valid"],
+                batch["gt_labels"], self.num_classes, rng, tc,
+                self.ga_strides, self.ga_octave_base_scale, sizes,
+                gamma=self.focal_gamma, alpha=self.focal_alpha)
         cls_scores, bbox_preds = self.head_m(feats)
         anchors_flat = jnp.concatenate(self._anchors(feats), axis=0)
         tc = dict(self.train_cfg)
@@ -118,9 +151,25 @@ class RetinaNet(nn.Module):
 
     def simple_test(self, img, img_shape, scale_factor):
         feats = self.extract_feat(img)
+        cfg = dict(self.test_cfg)
+        if self.ga_head:
+            from ..dense_heads.ga_rpn_head import ga_retina_bboxes_single
+            cls_scores, bbox_preds, shape_preds, loc_preds = \
+                self.head_m(feats)
+            _, squares, _ = self._ga_geometry(feats)
+            det_boxes, det_scores, det_labels, det_valid = jax.vmap(
+                lambda cs, bp, sp, lp, ishape: ga_retina_bboxes_single(
+                    cs, bp, sp, lp, squares, ishape, self.num_classes,
+                    cfg, target_stds=self.ga_target_stds,
+                    loc_filter_thr=self.ga_loc_filter_thr)
+            )([s for s in cls_scores], [b for b in bbox_preds],
+              [s for s in shape_preds], [p for p in loc_preds], img_shape)
+            return {"det_bboxes": det_boxes / jnp.asarray(
+                        scale_factor)[:, None, None],
+                    "det_scores": det_scores, "det_labels": det_labels,
+                    "det_valid": det_valid}
         cls_scores, bbox_preds = self.head_m(feats)
         anchors = self._anchors(feats)
-        cfg = dict(self.test_cfg)
         det_boxes, det_scores, det_labels, det_valid = jax.vmap(
             lambda cs, bp, ishape: retina_bboxes_single(
                 cs, bp, anchors, ishape, self.num_classes, cfg)
@@ -147,24 +196,11 @@ class FCOS(nn.Module):
 
     def setup(self):
         from ..dense_heads.fcos_head import FCOSHead
+        from .builders import build_backbone_m, build_neck_m
         dt = _dtype(self.compute_dtype)
-        bk = dict(self.backbone)
-        bk.pop("type", None)
-        self.backbone_m = ResNet(
-            depth=bk.get("depth", 50),
-            base_channels=bk.get("base_channels", 64),
-            out_indices=tuple(bk.get("out_indices", (0, 1, 2, 3))),
-            frozen_stages=bk.get("frozen_stages", -1), dtype=dt,
-            name="backbone")
+        self.backbone_m = build_backbone_m(self.backbone, dt)
+        self.neck_m = build_neck_m(self.neck, dt)
         nk = dict(self.neck)
-        nk.pop("type", None)
-        self.neck_m = FPN(
-            in_channels=tuple(nk.get("in_channels", (256, 512, 1024, 2048))),
-            out_channels=nk.get("out_channels", 256),
-            num_outs=nk.get("num_outs", 5),
-            start_level=nk.get("start_level", 1),
-            add_extra_convs=bool(nk.get("add_extra_convs", False)),
-            dtype=dt, name="neck")
         bh = dict(self.bbox_head)
         self.num_classes = bh.get("num_classes", 80)
         self.strides = tuple(bh.get("strides", (8, 16, 32, 64, 128)))
@@ -172,6 +208,16 @@ class FCOS(nn.Module):
             tuple(r) for r in bh.get("regress_ranges",
                                      ((-1, 64), (64, 128), (128, 256),
                                       (256, 512), (512, INF_RANGE))))
+        # variant axes (reference configs/fcos/fcos_center-normbbox-
+        # centeronreg-giou_*.py): center-sampled targets, stride-normalised
+        # reg branch, GIoU bbox loss, DCN on the last tower conv
+        self.center_sampling = bool(bh.get("center_sampling", False))
+        self.center_sample_radius = float(bh.get("center_sample_radius",
+                                                 1.5))
+        self.norm_on_bbox = bool(bh.get("norm_on_bbox", False))
+        lb = dict(bh.get("loss_bbox", {}))
+        self.bbox_loss_mode = {"GIoULoss": "giou"}.get(lb.get("type"),
+                                                       "iou")
         self.head_m = FCOSHead(
             num_classes=self.num_classes,
             in_channels=bh.get("in_channels", 256),
@@ -179,6 +225,11 @@ class FCOS(nn.Module):
             stacked_convs=bh.get("stacked_convs", 4),
             num_levels=nk.get("num_outs", 5),
             centerness_on_reg=bh.get("centerness_on_reg", False),
+            norm_on_bbox=self.norm_on_bbox,
+            strides=self.strides,
+            dcn_on_last_conv=bool(bh.get("dcn_on_last_conv", False)),
+            use_gn=("norm_cfg" not in bh
+                    or dict(bh.get("norm_cfg") or {}).get("type") == "GN"),
             dtype=dt, name="bbox_head")
         lc = dict(bh.get("loss_cls", {}))
         self.focal_gamma = lc.get("gamma", 2.0)
@@ -204,11 +255,19 @@ class FCOS(nn.Module):
             [jnp.broadcast_to(jnp.asarray(r, jnp.float32),
                               (p.shape[0], 2))
              for p, r in zip(points, self.regress_ranges)], 0)
+        strides_flat = jnp.concatenate(
+            [jnp.full((p.shape[0],), float(s), jnp.float32)
+             for p, s in zip(points, self.strides)], 0)
         return fcos_loss(cls_scores, bbox_preds, centernesses,
                          jnp.concatenate(points, 0), ranges,
                          batch["gt_bboxes"], batch["gt_valid"],
                          batch["gt_labels"], self.num_classes,
-                         gamma=self.focal_gamma, alpha=self.focal_alpha)
+                         gamma=self.focal_gamma, alpha=self.focal_alpha,
+                         strides_flat=strides_flat,
+                         center_sample_radius=(
+                             self.center_sample_radius
+                             if self.center_sampling else 0.0),
+                         bbox_loss_mode=self.bbox_loss_mode)
 
     def simple_test(self, img, img_shape, scale_factor):
         from ..dense_heads.fcos_head import fcos_bboxes_single
@@ -242,23 +301,10 @@ class ATSS(nn.Module):
     def setup(self):
         from ..dense_heads.atss_head import ATSSHead
         dt = _dtype(self.compute_dtype)
-        bk = dict(self.backbone)
-        bk.pop("type", None)
-        self.backbone_m = ResNet(
-            depth=bk.get("depth", 50),
-            base_channels=bk.get("base_channels", 64),
-            out_indices=tuple(bk.get("out_indices", (0, 1, 2, 3))),
-            frozen_stages=bk.get("frozen_stages", -1), dtype=dt,
-            name="backbone")
+        from .builders import build_backbone_m, build_neck_m
+        self.backbone_m = build_backbone_m(self.backbone, dt)
+        self.neck_m = build_neck_m(self.neck, dt)
         nk = dict(self.neck)
-        nk.pop("type", None)
-        self.neck_m = FPN(
-            in_channels=tuple(nk.get("in_channels", (256, 512, 1024, 2048))),
-            out_channels=nk.get("out_channels", 256),
-            num_outs=nk.get("num_outs", 5),
-            start_level=nk.get("start_level", 1),
-            add_extra_convs=bool(nk.get("add_extra_convs", False)),
-            dtype=dt, name="neck")
         bh = dict(self.bbox_head)
         ag = dict(bh.get("anchor_generator", dict(
             ratios=[1.0], octave_base_scale=8, scales_per_octave=1,
@@ -343,23 +389,10 @@ class FSAF(nn.Module):
     def setup(self):
         from ..dense_heads.fsaf_head import FSAFHead
         dt = _dtype(self.compute_dtype)
-        bk = dict(self.backbone)
-        bk.pop("type", None)
-        self.backbone_m = ResNet(
-            depth=bk.get("depth", 50),
-            base_channels=bk.get("base_channels", 64),
-            out_indices=tuple(bk.get("out_indices", (0, 1, 2, 3))),
-            frozen_stages=bk.get("frozen_stages", -1), dtype=dt,
-            name="backbone")
+        from .builders import build_backbone_m, build_neck_m
+        self.backbone_m = build_backbone_m(self.backbone, dt)
+        self.neck_m = build_neck_m(self.neck, dt)
         nk = dict(self.neck)
-        nk.pop("type", None)
-        self.neck_m = FPN(
-            in_channels=tuple(nk.get("in_channels", (256, 512, 1024, 2048))),
-            out_channels=nk.get("out_channels", 256),
-            num_outs=nk.get("num_outs", 5),
-            start_level=nk.get("start_level", 1),
-            add_extra_convs=bool(nk.get("add_extra_convs", False)),
-            dtype=dt, name="neck")
         bh = dict(self.bbox_head)
         self.num_classes = bh.get("num_classes", 80)
         self.strides = tuple(bh.get("strides", (8, 16, 32, 64, 128)))
@@ -420,23 +453,10 @@ class GFL(nn.Module):
     def setup(self):
         from ..dense_heads.gfl_head import GFLHead
         dt = _dtype(self.compute_dtype)
-        bk = dict(self.backbone)
-        bk.pop("type", None)
-        self.backbone_m = ResNet(
-            depth=bk.get("depth", 50),
-            base_channels=bk.get("base_channels", 64),
-            out_indices=tuple(bk.get("out_indices", (0, 1, 2, 3))),
-            frozen_stages=bk.get("frozen_stages", -1), dtype=dt,
-            name="backbone")
+        from .builders import build_backbone_m, build_neck_m
+        self.backbone_m = build_backbone_m(self.backbone, dt)
+        self.neck_m = build_neck_m(self.neck, dt)
         nk = dict(self.neck)
-        nk.pop("type", None)
-        self.neck_m = FPN(
-            in_channels=tuple(nk.get("in_channels", (256, 512, 1024, 2048))),
-            out_channels=nk.get("out_channels", 256),
-            num_outs=nk.get("num_outs", 5),
-            start_level=nk.get("start_level", 1),
-            add_extra_convs=bool(nk.get("add_extra_convs", False)),
-            dtype=dt, name="neck")
         bh = dict(self.bbox_head)
         ag = dict(bh.get("anchor_generator", dict(
             ratios=[1.0], octave_base_scale=8, scales_per_octave=1,
@@ -525,23 +545,10 @@ class FoveaBox(nn.Module):
     def setup(self):
         from ..dense_heads.fovea_head import FoveaHead
         dt = _dtype(self.compute_dtype)
-        bk = dict(self.backbone)
-        bk.pop("type", None)
-        self.backbone_m = ResNet(
-            depth=bk.get("depth", 50),
-            base_channels=bk.get("base_channels", 64),
-            out_indices=tuple(bk.get("out_indices", (0, 1, 2, 3))),
-            frozen_stages=bk.get("frozen_stages", -1), dtype=dt,
-            name="backbone")
+        from .builders import build_backbone_m, build_neck_m
+        self.backbone_m = build_backbone_m(self.backbone, dt)
+        self.neck_m = build_neck_m(self.neck, dt)
         nk = dict(self.neck)
-        nk.pop("type", None)
-        self.neck_m = FPN(
-            in_channels=tuple(nk.get("in_channels", (256, 512, 1024, 2048))),
-            out_channels=nk.get("out_channels", 256),
-            num_outs=nk.get("num_outs", 5),
-            start_level=nk.get("start_level", 1),
-            add_extra_convs=bool(nk.get("add_extra_convs", False)),
-            dtype=dt, name="neck")
         bh = dict(self.bbox_head)
         self.num_classes = bh.get("num_classes", 80)
         self.strides = tuple(bh.get("strides", (8, 16, 32, 64, 128)))
@@ -556,6 +563,8 @@ class FoveaBox(nn.Module):
             in_channels=bh.get("in_channels", 256),
             feat_channels=bh.get("feat_channels", 256),
             stacked_convs=bh.get("stacked_convs", 4),
+            with_deform=bool(bh.get("with_deform", False)),
+            use_gn=dict(bh.get("norm_cfg") or {}).get("type") == "GN",
             dtype=dt, name="bbox_head")
         lc = dict(bh.get("loss_cls", {}))
         self.focal_gamma = lc.get("gamma", 2.0)
@@ -614,23 +623,10 @@ class FreeAnchor(nn.Module):
 
     def setup(self):
         dt = _dtype(self.compute_dtype)
-        bk = dict(self.backbone)
-        bk.pop("type", None)
-        self.backbone_m = ResNet(
-            depth=bk.get("depth", 50),
-            base_channels=bk.get("base_channels", 64),
-            out_indices=tuple(bk.get("out_indices", (0, 1, 2, 3))),
-            frozen_stages=bk.get("frozen_stages", -1), dtype=dt,
-            name="backbone")
+        from .builders import build_backbone_m, build_neck_m
+        self.backbone_m = build_backbone_m(self.backbone, dt)
+        self.neck_m = build_neck_m(self.neck, dt)
         nk = dict(self.neck)
-        nk.pop("type", None)
-        self.neck_m = FPN(
-            in_channels=tuple(nk.get("in_channels", (256, 512, 1024, 2048))),
-            out_channels=nk.get("out_channels", 256),
-            num_outs=nk.get("num_outs", 5),
-            start_level=nk.get("start_level", 1),
-            add_extra_convs=bool(nk.get("add_extra_convs", False)),
-            dtype=dt, name="neck")
         bh = dict(self.bbox_head)
         ag = dict(bh.get("anchor_generator", dict(
             octave_base_scale=4, scales_per_octave=3,
@@ -760,11 +756,12 @@ class SSD(nn.Module):
         feats = self.extract_feat(batch["image"])
         cls_scores, bbox_preds = self.head_m(feats)
         anchors_flat = jnp.concatenate(self._anchors(feats), axis=0)
+        tc = dict(self.train_cfg or {})
+        pisa = {k: tc[k] for k in ("isr", "carl") if tc.get(k)} or None
         return ssd_loss(cls_scores, bbox_preds, anchors_flat,
                         batch["gt_bboxes"], batch["gt_valid"],
                         batch["gt_labels"], self.num_classes,
-                        dict(self.train_cfg or {}),
-                        target_stds=self.target_stds)
+                        tc, target_stds=self.target_stds, pisa_cfg=pisa)
 
     def simple_test(self, img, img_shape, scale_factor):
         from ..dense_heads.ssd_head import ssd_bboxes_single
@@ -797,28 +794,16 @@ class RepPointsDetector(nn.Module):
     def setup(self):
         from ..dense_heads.reppoints_head import RepPointsHead
         dt = _dtype(self.compute_dtype)
-        bk = dict(self.backbone)
-        bk.pop("type", None)
-        self.backbone_m = ResNet(
-            depth=bk.get("depth", 50),
-            base_channels=bk.get("base_channels", 64),
-            out_indices=tuple(bk.get("out_indices", (0, 1, 2, 3))),
-            frozen_stages=bk.get("frozen_stages", -1), dtype=dt,
-            name="backbone")
+        from .builders import build_backbone_m, build_neck_m
+        self.backbone_m = build_backbone_m(self.backbone, dt)
+        self.neck_m = build_neck_m(self.neck, dt)
         nk = dict(self.neck)
-        nk.pop("type", None)
-        self.neck_m = FPN(
-            in_channels=tuple(nk.get("in_channels", (256, 512, 1024, 2048))),
-            out_channels=nk.get("out_channels", 256),
-            num_outs=nk.get("num_outs", 5),
-            start_level=nk.get("start_level", 1),
-            add_extra_convs=bool(nk.get("add_extra_convs", False)),
-            dtype=dt, name="neck")
         bh = dict(self.bbox_head)
         self.num_classes = bh.get("num_classes", 80)
         self.num_points = bh.get("num_points", 9)
         self.strides = tuple(bh.get("point_strides", (8, 16, 32, 64, 128)))
         self.point_base_scale = bh.get("point_base_scale", 4)
+        self.transform_method = bh.get("transform_method", "moment")
         self.head_m = RepPointsHead(
             num_classes=self.num_classes,
             in_channels=bh.get("in_channels", 256),
@@ -828,12 +813,20 @@ class RepPointsDetector(nn.Module):
             num_points=self.num_points,
             gradient_mul=bh.get("gradient_mul", 0.1),
             num_levels=nk.get("num_outs", 5),
+            transform_method=self.transform_method,
+            use_grid_points=bool(bh.get("use_grid_points", False)),
+            center_init=bool(bh.get("center_init", True)),
+            point_base_scale=self.point_base_scale,
             dtype=dt, name="bbox_head")
         tc = dict(self.train_cfg or {})
-        self.init_assign_scale = dict(tc.get("init", {}).get(
-            "assigner", {})).get("scale", 4)
-        self.init_pos_num = dict(tc.get("init", {}).get(
-            "assigner", {})).get("pos_num", 1)
+        init_as = dict(tc.get("init", {}).get("assigner", {}))
+        self.init_assigner = ("max_iou"
+                              if init_as.get("type") == "MaxIoUAssigner"
+                              else "point")
+        self.init_assign_scale = init_as.get("scale", 4)
+        self.init_pos_num = init_as.get("pos_num", 1)
+        self.init_pos_iou = init_as.get("pos_iou_thr", 0.5)
+        self.init_neg_iou = init_as.get("neg_iou_thr", 0.4)
         rf = dict(tc.get("refine", {}).get("assigner", {}))
         self.refine_pos_iou = rf.get("pos_iou_thr", 0.5)
         self.refine_neg_iou = rf.get("neg_iou_thr", 0.4)
@@ -887,7 +880,11 @@ class RepPointsDetector(nn.Module):
             refine_pos_iou=self.refine_pos_iou,
             refine_neg_iou=self.refine_neg_iou,
             loss_init_weight=self.loss_init_weight,
-            loss_refine_weight=self.loss_refine_weight)
+            loss_refine_weight=self.loss_refine_weight,
+            transform_method=self.transform_method,
+            init_assigner=self.init_assigner,
+            init_pos_iou=self.init_pos_iou,
+            init_neg_iou=self.init_neg_iou)
 
     def simple_test(self, img, img_shape, scale_factor):
         from ..dense_heads.reppoints_head import reppoints_bboxes_single
@@ -898,7 +895,8 @@ class RepPointsDetector(nn.Module):
         det_boxes, det_scores, det_labels, det_valid = jax.vmap(
             lambda cs, pr, ishape: reppoints_bboxes_single(
                 cs, pr, mt, centers, self.strides, ishape,
-                self.num_classes, cfg, num_points=self.num_points)
+                self.num_classes, cfg, num_points=self.num_points,
+                transform_method=self.transform_method)
         )([s for s in cls_scores], [p for p in pts_refine], img_shape)
         return {"det_bboxes": det_boxes / jnp.asarray(
                     scale_factor)[:, None, None],
@@ -1054,14 +1052,8 @@ class NASFCOS(FCOS):
         from ..dense_heads.nasfcos_head import NASFCOSHead
         from ..necks.nasfcos_fpn import NASFCOS_FPN
         dt = _dtype(self.compute_dtype)
-        bk = dict(self.backbone)
-        bk.pop("type", None)
-        self.backbone_m = ResNet(
-            depth=bk.get("depth", 50),
-            base_channels=bk.get("base_channels", 64),
-            out_indices=tuple(bk.get("out_indices", (0, 1, 2, 3))),
-            frozen_stages=bk.get("frozen_stages", -1), dtype=dt,
-            name="backbone")
+        from .builders import build_backbone_m
+        self.backbone_m = build_backbone_m(self.backbone, dt)
         nk = dict(self.neck)
         self.neck_m = NASFCOS_FPN(
             in_channels=tuple(nk.get("in_channels", (256, 512, 1024, 2048))),
@@ -1086,3 +1078,9 @@ class NASFCOS(FCOS):
         lc = dict(bh.get("loss_cls", {}))
         self.focal_gamma = lc.get("gamma", 2.0)
         self.focal_alpha = lc.get("alpha", 0.25)
+        # FCOS variant axes (fixed off in the searched NAS-FCOS head)
+        self.center_sampling = bool(bh.get("center_sampling", False))
+        self.center_sample_radius = float(bh.get("center_sample_radius",
+                                                 1.5))
+        self.norm_on_bbox = False
+        self.bbox_loss_mode = "iou"

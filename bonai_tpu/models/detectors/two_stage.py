@@ -156,53 +156,16 @@ class TwoStageDetector(nn.Module):
 
     # ---------------- module construction ----------------
     def setup(self):
+        from .builders import build_backbone_m, build_neck_m
         dt = _dtype(self.compute_dtype)
-        bk = dict(self.backbone)
-        bk_type = bk.pop("type", "ResNet")
-        if bk_type == "HRNet":
-            from ..backbones.hrnet import HRNet
-            self.backbone_m = HRNet(
-                extra=bk.get("extra"),
-                frozen_stages=bk.get("frozen_stages", -1),
-                norm_eval=bk.get("norm_eval", True),
-                dtype=dt, name="backbone")
-        elif bk_type == "RegNet":
-            from ..backbones.resnet import RegNet
-            self.backbone_m = RegNet(
-                arch=bk.get("arch", "regnetx_3.2gf"),
-                out_indices=tuple(bk.get("out_indices", (0, 1, 2, 3))),
-                frozen_stages=bk.get("frozen_stages", -1),
-                dtype=dt, name="backbone")
-        else:
-            assert bk_type in ("ResNet", "ResNeXt", "Res2Net",
-                               "DetectoRS_ResNet"), \
-                f"unsupported backbone {bk_type}"
-            res2 = bk_type == "Res2Net"
-            self.backbone_m = ResNet(
-                depth=bk.get("depth", 50),
-                num_stages=bk.get("num_stages", 4),
-                base_channels=bk.get("base_channels", 64),
-                out_indices=tuple(bk.get("out_indices", (0, 1, 2, 3))),
-                frozen_stages=bk.get("frozen_stages", -1),
-                norm_eval=bk.get("norm_eval", True),
-                style=bk.get("style", "pytorch"),
-                groups=bk.get("groups", 1),
-                base_width=bk.get("base_width", 26 if res2 else 4),
-                scales=bk.get("scales", 4 if res2 else 0),
-                deep_stem=bk.get("deep_stem", res2),
-                avg_down=bk.get("avg_down", res2),
-                dcn=bk.get("dcn"),
-                plugins=bk.get("plugins"),
-                sac=bk.get("sac"),
-                stage_with_sac=tuple(bk.get("stage_with_sac",
-                                            (False,) * 4)),
-                output_img=bk.get("output_img", False),
-                stage_with_dcn=tuple(bk.get("stage_with_dcn",
-                                            (False,) * 4)),
-                norm_cfg=bk.get("norm_cfg"),
-                conv_cfg=bk.get("conv_cfg"),
-                dtype=dt, name="backbone")
-        if isinstance(self.neck, (list, tuple)):
+        self.backbone_m = build_backbone_m(self.backbone, dt)
+        if self.neck is None:
+            # C4-style detectors (reference rpn_r50_caffe_c4): dense head
+            # runs directly on the backbone output
+            self.neck_m = None
+            self.neck_extra_ms = ()
+            nk = {}
+        elif isinstance(self.neck, (list, tuple)):
             # chained necks, e.g. [FPN, BFP] (Libra R-CNN, reference
             # configs/libra_rcnn/*: neck is a list)
             nk = dict(self.neck[0])
@@ -222,61 +185,8 @@ class TwoStageDetector(nn.Module):
         else:
             nk = dict(self.neck)
             self.neck_extra_ms = ()
-        nk_type = nk.pop("type", "FPN")
-        if nk_type == "HRFPN":
-            from ..necks.hrfpn import HRFPN
-            self.neck_m = HRFPN(
-                in_channels=tuple(nk.get("in_channels", (32, 64, 128, 256))),
-                out_channels=nk.get("out_channels", 256),
-                num_outs=nk.get("num_outs", 5),
-                dtype=dt, name="neck")
-        elif nk_type == "PAFPN":
-            from ..necks.fpn import PAFPN
-            self.neck_m = PAFPN(
-                in_channels=tuple(nk.get("in_channels",
-                                         (256, 512, 1024, 2048))),
-                out_channels=nk.get("out_channels", 256),
-                num_outs=nk.get("num_outs", 5),
-                start_level=nk.get("start_level", 0),
-                add_extra_convs=bool(nk.get("add_extra_convs", False)),
-                dtype=dt, name="neck")
-        elif nk_type == "FPN_CARAFE":
-            from ..necks.fpn_carafe import FPN_CARAFE
-            up = dict(nk.get("upsample_cfg") or {})
-            self.neck_m = FPN_CARAFE(
-                in_channels=tuple(nk.get("in_channels",
-                                         (256, 512, 1024, 2048))),
-                out_channels=nk.get("out_channels", 256),
-                num_outs=nk.get("num_outs", 5),
-                start_level=nk.get("start_level", 0),
-                up_kernel=up.get("up_kernel", 5),
-                encoder_kernel=up.get("encoder_kernel", 3),
-                encoder_dilation=up.get("encoder_dilation", 1),
-                dtype=dt, name="neck")
-        elif nk_type == "RFP":
-            from ..necks.rfp import RFP
-            self.neck_m = RFP(
-                in_channels=tuple(nk.get("in_channels",
-                                         (256, 512, 1024, 2048))),
-                out_channels=nk.get("out_channels", 256),
-                num_outs=nk.get("num_outs", 5),
-                rfp_steps=nk.get("rfp_steps", 2),
-                rfp_backbone=nk.get("rfp_backbone"),
-                aspp_out_channels=nk.get("aspp_out_channels", 64),
-                aspp_dilations=tuple(nk.get("aspp_dilations",
-                                            (1, 3, 6, 1))),
-                dtype=dt, name="neck")
-        else:
-            assert nk_type == "FPN", f"unsupported neck {nk_type}"
-            self.neck_m = FPN(
-                in_channels=tuple(nk.get("in_channels",
-                                         (256, 512, 1024, 2048))),
-                out_channels=nk.get("out_channels", 256),
-                num_outs=nk.get("num_outs", 5),
-                add_extra_convs=bool(nk.get("add_extra_convs", False)),
-                norm_cfg=nk.get("norm_cfg"),
-                conv_cfg=nk.get("conv_cfg"),
-                dtype=dt, name="neck")
+        if self.neck is not None:
+            self.neck_m = build_neck_m(nk, dt)
         rh = dict(self.rpn_head)
         # SemiRPNHead (reference mmdet/models/dense_heads/semi_rpn_head.py):
         # footprint-only images supervise the RPN with footprint boxes
@@ -433,6 +343,24 @@ class TwoStageDetector(nn.Module):
         cfg (reference ``generic_roi_extractor.py:36-40``; groie configs).
         The module attribute names are stashed into the cfg dict so
         ``_roi_align_cfg`` can look them up at call time."""
+        lt = dict(ext.get("roi_layer") or {}).get("type", "RoIAlign")
+        if lt in ("DeformRoIPoolPack", "DeformRoIPoolingPack",
+                  "ModulatedDeformRoIPoolPack",
+                  "ModulatedDeformRoIPoolingPack"):
+            # dpool / mdpool bbox extractors (reference configs/dcn/
+            # faster_rcnn_r50_fpn_{dpool,mdpool}_1x_coco.py)
+            from ...ops.roi_pool import DeformRoIPoolPack
+            layer = dict(ext["roi_layer"])
+            mod = DeformRoIPoolPack(
+                output_size=layer.get("output_size", 7),
+                output_channels=layer.get("output_channels", 256),
+                deform_fc_channels=layer.get("deform_fc_channels", 1024),
+                gamma=layer.get("gamma", 0.1),
+                modulated=lt.startswith("Modulated"),
+                dtype=dt, name=f"{role}_dpool")
+            setattr(self, f"_dpool_{role}", mod)
+            ext["_dpool_attr"] = f"_dpool_{role}"
+            return ext
         if ext.get("type") != "GenericRoIExtractor":
             return ext
         pre = dict(ext.get("pre_cfg") or {})
@@ -471,7 +399,9 @@ class TwoStageDetector(nn.Module):
         return self.mask_head_m is not None
 
     def extract_feat(self, img):
-        feats = self.neck_m(self.backbone_m(img))
+        feats = self.backbone_m(img)
+        if self.neck_m is not None:
+            feats = self.neck_m(feats)
         for extra in self.neck_extra_ms:
             feats = extra(feats)
         return feats
@@ -482,6 +412,23 @@ class TwoStageDetector(nn.Module):
         out_size = layer.get("output_size", 7)
         sr = layer.get("sampling_ratio", 0) or 2   # static grid on TPU
         strides = list(extractor_cfg.get("featmap_strides", [4, 8, 16, 32]))
+        dpool_attr = extractor_cfg.get("_dpool_attr")
+        if dpool_attr:
+            from ...ops.roi_pool import multilevel_deform_roi_pool
+            mod = getattr(self, dpool_attr)
+            return multilevel_deform_roi_pool(
+                feats[:len(strides)], rois,
+                lambda f, r, ss: mod(f, r, ss), strides,
+                roi_valid=roi_valid,
+                finest_scale=extractor_cfg.get("finest_scale", 56))
+        if layer.get("type", "RoIAlign") == "RoIPool":
+            from ...ops.roi_pool import (multilevel_deform_roi_pool,
+                                         roi_pool)
+            return multilevel_deform_roi_pool(
+                feats[:len(strides)], rois,
+                lambda f, r, ss: roi_pool(f, r, out_size, ss, sr),
+                strides, roi_valid=roi_valid,
+                finest_scale=extractor_cfg.get("finest_scale", 56))
         if extractor_cfg.get("type") == "GenericRoIExtractor":
             from ...ops.roi_align import generic_roi_align
             pre_attr = extractor_cfg.get("_pre_attr")

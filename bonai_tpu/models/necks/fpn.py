@@ -51,7 +51,11 @@ class FPN(nn.Module):
     num_outs: int = 5
     start_level: int = 0
     end_level: int = -1
-    add_extra_convs: bool = False
+    add_extra_convs: Any = False
+    # source of the first extra conv when add_extra_convs: 'input'
+    # (retina-style, reference extra_convs_on_inputs=True / 'on_input'),
+    # 'output' (fcos-style 'on_output'), or 'lateral'
+    extra_convs_on: str = "input"
     relu_before_extra_convs: bool = False
     norm_cfg: Any = None
     conv_cfg: Any = None
@@ -84,7 +88,12 @@ class FPN(nn.Module):
                     # torch F.max_pool2d(x, 1, stride=2)
                     outs.append(outs[-1][:, ::2, ::2, :])
             else:
-                extra_src = inputs[-1]
+                if self.extra_convs_on == "output":
+                    extra_src = outs[-1]
+                elif self.extra_convs_on == "lateral":
+                    extra_src = laterals[-1]
+                else:
+                    extra_src = inputs[-1]
                 for i in range(self.num_outs - used):
                     src = extra_src if i == 0 else outs[-1]
                     if i > 0 and self.relu_before_extra_convs:
