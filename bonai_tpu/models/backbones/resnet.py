@@ -124,8 +124,9 @@ class Bottleneck(nn.Module):
     expansion: int = 4
     groups: int = 1          # >1 with base_width: ResNeXt grouped bottleneck
     base_width: int = 4      # (reference: mmdet/models/backbones/resnext.py)
-    dcn: bool = False        # conv2 -> modulated deformable conv (DCNv2,
-                             # reference resnet.py ``dcn=`` stage plugin)
+    dcn: Any = False         # conv2 -> deformable conv; the reference
+                             # ``dcn=`` stage-plugin dict is passed
+                             # through (type DCN/DCNv2, deform_groups)
     sac: bool = False        # conv2 -> switchable atrous conv (DetectoRS,
                              # reference detectors_resnet.py ``sac=``)
     rfp_in: bool = False     # accept an RFP feature (zero-init 1x1 add,
@@ -175,11 +176,23 @@ class Bottleneck(nn.Module):
         out = nn.relu(out)
         out = self._plugin(out, "after_conv1", 0)
         if self.dcn:
-            from ...ops.deform_conv import ModulatedDeformConv2d
-            out = ModulatedDeformConv2d(
-                features=width, kernel_size=3, stride=c2_stride,
-                padding=1, use_bias=False, dtype=self.dtype,
-                name="conv2")(out)
+            # flax stores dict fields as FrozenDict — duck-type, don't
+            # isinstance(dict)
+            dcfg = dict(self.dcn) if hasattr(self.dcn, "get") else {}
+            dg = int(dcfg.get("deform_groups", 1))
+            if dcfg.get("type", "DCNv2") == "DCN":
+                # DCNv1 (reference dconv_c3-c5 configs)
+                from ...ops.deform_conv import DeformConv2dPack
+                out = DeformConv2dPack(
+                    features=width, kernel_size=3, stride=c2_stride,
+                    padding=1, use_bias=False, deform_groups=dg,
+                    dtype=self.dtype, name="conv2")(out)
+            else:
+                from ...ops.deform_conv import ModulatedDeformConv2d
+                out = ModulatedDeformConv2d(
+                    features=width, kernel_size=3, stride=c2_stride,
+                    padding=1, use_bias=False, deform_groups=dg,
+                    dtype=self.dtype, name="conv2")(out)
         elif self.sac:
             from ...ops.saconv import SAConv2d
             out = SAConv2d(features=width, kernel_size=3,
@@ -401,8 +414,10 @@ class ResNet(nn.Module):
                     kwargs.update(
                         groups=self.groups, base_width=self.base_width,
                         style=self.style,
-                        dcn=bool(self.dcn)
-                        and bool(self.stage_with_dcn[stage]),
+                        dcn=(self.dcn
+                             if bool(self.dcn)
+                             and bool(self.stage_with_dcn[stage])
+                             else False),
                         sac=bool(self.sac)
                         and bool(self.stage_with_sac[stage]),
                         plugins=self._stage_plugins(stage))

@@ -38,6 +38,19 @@ class FCOSHead(nn.Module):
     stacked_convs: int = 4
     num_levels: int = 5
     centerness_on_reg: bool = False
+    # norm_on_bbox (reference fcos_head.py forward_single): reg branch is
+    # relu(scale*reg)*stride instead of exp(scale*reg).  The stride
+    # multiply happens here (pixel space) for train AND test — the
+    # reference defers it at train time and divides the targets instead,
+    # which is the same parametrisation of the same IoU objective.
+    norm_on_bbox: bool = False
+    strides: Sequence[int] = (8, 16, 32, 64, 128)
+    # dcn_on_last_conv (reference configs/fcos/*center-normbbox*dcn*):
+    # the last tower conv in each branch is a deformable conv
+    dcn_on_last_conv: bool = False
+    # use_gn=False: the norm-free tower variant (reference
+    # fcos_r50_caffe_fpn_4x4_1x_coco.py, norm_cfg=None)
+    use_gn: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -45,18 +58,33 @@ class FCOSHead(nn.Module):
         kaiming = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
         cls_convs, reg_convs, gn_c, gn_r = [], [], [], []
         for i in range(self.stacked_convs):
-            cls_convs.append(nn.Conv(self.feat_channels, (3, 3),
-                                     padding=[(1, 1), (1, 1)],
-                                     dtype=self.dtype, kernel_init=kaiming,
-                                     name=f"cls_conv{i}"))
-            reg_convs.append(nn.Conv(self.feat_channels, (3, 3),
-                                     padding=[(1, 1), (1, 1)],
-                                     dtype=self.dtype, kernel_init=kaiming,
-                                     name=f"reg_conv{i}"))
-            gn_c.append(nn.GroupNorm(num_groups=32, dtype=self.dtype,
-                                     name=f"cls_gn{i}"))
-            gn_r.append(nn.GroupNorm(num_groups=32, dtype=self.dtype,
-                                     name=f"reg_gn{i}"))
+            if self.dcn_on_last_conv and i == self.stacked_convs - 1:
+                from ...ops.deform_conv import ModulatedDeformConv2d
+                cls_convs.append(ModulatedDeformConv2d(
+                    self.feat_channels, dtype=self.dtype,
+                    name=f"cls_conv{i}"))
+                reg_convs.append(ModulatedDeformConv2d(
+                    self.feat_channels, dtype=self.dtype,
+                    name=f"reg_conv{i}"))
+            else:
+                cls_convs.append(nn.Conv(self.feat_channels, (3, 3),
+                                         padding=[(1, 1), (1, 1)],
+                                         dtype=self.dtype,
+                                         kernel_init=kaiming,
+                                         name=f"cls_conv{i}"))
+                reg_convs.append(nn.Conv(self.feat_channels, (3, 3),
+                                         padding=[(1, 1), (1, 1)],
+                                         dtype=self.dtype,
+                                         kernel_init=kaiming,
+                                         name=f"reg_conv{i}"))
+            if self.use_gn:
+                gn_c.append(nn.GroupNorm(num_groups=32, dtype=self.dtype,
+                                         name=f"cls_gn{i}"))
+                gn_r.append(nn.GroupNorm(num_groups=32, dtype=self.dtype,
+                                         name=f"reg_gn{i}"))
+            else:
+                gn_c.append(lambda v: v)
+                gn_r.append(lambda v: v)
         # retina-style focal-bias init on the cls logits
         bias_init = nn.initializers.constant(
             float(-np.log((1 - 0.01) / 0.01)))
@@ -85,7 +113,10 @@ class FCOSHead(nn.Module):
             ctr_feat = r if self.centerness_on_reg else c
             ctr_out.append(conv_centerness(ctr_feat).astype(jnp.float32))
             reg = conv_reg(r).astype(jnp.float32) * scales[lvl]
-            reg_out.append(jnp.exp(reg))          # norm_on_bbox=False
+            if self.norm_on_bbox:
+                reg_out.append(nn.relu(reg) * float(self.strides[lvl]))
+            else:
+                reg_out.append(jnp.exp(reg))
         return cls_out, reg_out, ctr_out
 
 
@@ -103,12 +134,16 @@ def fcos_points(featmap_sizes, strides):
 
 
 def fcos_targets(points, regress_ranges, gt_bboxes, gt_valid, gt_labels,
-                 num_classes):
+                 num_classes, strides_pt=None, center_sample_radius=0.0):
     """Single-image FCOS targets over the flat point set (vmap over batch).
 
     reference ``fcos_head.py:459-545`` ``_get_target_single``: a point is
     positive for the smallest-area gt that contains it whose max
-    regression distance falls in the point's level range.
+    regression distance falls in the point's level range.  With
+    ``center_sample_radius > 0`` (+ per-point ``strides_pt``) the
+    positive region shrinks to the gt box intersected with a
+    ``radius * stride`` box around the gt center (reference
+    center_sampling branch).
 
     Args:
       points: ``(P, 2)``; regress_ranges: ``(P, 2)`` per-point level range.
@@ -124,7 +159,20 @@ def fcos_targets(points, regress_ranges, gt_bboxes, gt_valid, gt_labels,
     bottom = gt_bboxes[None, :, 3] - ys
     ltrb = jnp.stack([left, top, right, bottom], -1)      # (P, G, 4)
 
-    inside = jnp.min(ltrb, -1) > 0
+    if center_sample_radius > 0.0 and strides_pt is not None:
+        cx = (gt_bboxes[None, :, 0] + gt_bboxes[None, :, 2]) * 0.5
+        cy = (gt_bboxes[None, :, 1] + gt_bboxes[None, :, 3]) * 0.5
+        r = strides_pt[:, None] * center_sample_radius
+        # center box clipped to the gt box (reference fcos_head.py
+        # center_sampling: x_mins = max(center - radius, gt_x1) etc.)
+        x1 = jnp.maximum(cx - r, gt_bboxes[None, :, 0])
+        y1 = jnp.maximum(cy - r, gt_bboxes[None, :, 1])
+        x2 = jnp.minimum(cx + r, gt_bboxes[None, :, 2])
+        y2 = jnp.minimum(cy + r, gt_bboxes[None, :, 3])
+        inside = ((xs > x1) & (xs < x2) & (ys > y1) & (ys < y2)
+                  & (jnp.min(ltrb, -1) > 0))
+    else:
+        inside = jnp.min(ltrb, -1) > 0
     max_dist = jnp.max(ltrb, -1)
     in_range = (max_dist >= regress_ranges[:, None, 0]) & \
         (max_dist <= regress_ranges[:, None, 1])
@@ -154,10 +202,12 @@ def _decode_ltrb(points, dists):
 
 def fcos_loss(cls_scores, bbox_preds, centernesses, points_flat,
               ranges_flat, gt_bboxes, gt_valid, gt_labels, num_classes,
-              gamma=2.0, alpha=0.25):
+              gamma=2.0, alpha=0.25, strides_flat=None,
+              center_sample_radius=0.0, bbox_loss_mode="iou"):
     """Batched FCOS loss (reference ``fcos_head.py:156-252``): focal cls
-    averaged by num_pos; IoU loss on decoded boxes weighted by the
-    centerness target and averaged by its sum; BCE centerness."""
+    averaged by num_pos; IoU (or GIoU, reference *giou* configs) loss on
+    decoded boxes weighted by the centerness target and averaged by its
+    sum; BCE centerness."""
     b = cls_scores[0].shape[0]
     cls_flat = jnp.concatenate(
         [c.reshape(b, -1, num_classes) for c in cls_scores], 1)
@@ -168,7 +218,10 @@ def fcos_loss(cls_scores, bbox_preds, centernesses, points_flat,
 
     labels, tgt, ctr_t = jax.vmap(
         lambda gb, gv, gl: fcos_targets(points_flat, ranges_flat, gb, gv,
-                                        gl, num_classes)
+                                        gl, num_classes,
+                                        strides_pt=strides_flat,
+                                        center_sample_radius=(
+                                            center_sample_radius))
     )(gt_bboxes, gt_valid, gt_labels)
 
     pos = labels < num_classes                            # (B, P)
@@ -189,10 +242,20 @@ def fcos_loss(cls_scores, bbox_preds, centernesses, points_flat,
         jnp.clip(dec_pred[..., 3] - dec_pred[..., 1], 0)
     area_t = jnp.clip(dec_tgt[..., 2] - dec_tgt[..., 0], 0) * \
         jnp.clip(dec_tgt[..., 3] - dec_tgt[..., 1], 0)
-    iou = inter / jnp.maximum(area_p + area_t - inter, 1e-6)
+    union = jnp.maximum(area_p + area_t - inter, 1e-6)
+    iou = inter / union
     w = ctr_t * pos
-    loss_bbox = jnp.sum(-jnp.log(jnp.clip(iou, 1e-6)) * w) \
-        / jnp.maximum(jnp.sum(w), 1e-6)
+    if bbox_loss_mode == "giou":
+        ex1 = jnp.minimum(dec_pred[..., 0], dec_tgt[..., 0])
+        ey1 = jnp.minimum(dec_pred[..., 1], dec_tgt[..., 1])
+        ex2 = jnp.maximum(dec_pred[..., 2], dec_tgt[..., 2])
+        ey2 = jnp.maximum(dec_pred[..., 3], dec_tgt[..., 3])
+        enclose = jnp.maximum((ex2 - ex1) * (ey2 - ey1), 1e-6)
+        giou = iou - (enclose - union) / enclose
+        per_pt = 1.0 - giou
+    else:
+        per_pt = -jnp.log(jnp.clip(iou, 1e-6))
+    loss_bbox = jnp.sum(per_pt * w) / jnp.maximum(jnp.sum(w), 1e-6)
 
     loss_ctr = binary_cross_entropy(ctr_flat, ctr_t,
                                     pos.astype(jnp.float32),

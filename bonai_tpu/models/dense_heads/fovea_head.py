@@ -22,12 +22,18 @@ from ..losses import sigmoid_focal_loss, smooth_l1_loss
 
 
 class FoveaHead(nn.Module):
-    """cls/reg GN-free conv towers (reference ``fovea_head.py:64-112``,
-    ``with_deform=False`` variant)."""
+    """cls/reg conv towers (reference ``fovea_head.py:64-112``).
+
+    ``with_deform`` (reference *fovea_align* configs): the cls feature is
+    re-sampled by a deformable conv whose offsets come from the exp'd reg
+    prediction (FeatureAlign), and the towers use GroupNorm when
+    ``use_gn`` (the *gn-head* config axis)."""
     num_classes: int = 1
     in_channels: int = 256
     feat_channels: int = 256
     stacked_convs: int = 4
+    with_deform: bool = False
+    use_gn: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -41,6 +47,13 @@ class FoveaHead(nn.Module):
                              padding=[(1, 1), (1, 1)], dtype=self.dtype,
                              kernel_init=kaiming, name=f"reg_conv{i}")
                      for i in range(self.stacked_convs)]
+        ng = min(32, self.feat_channels)
+        gn_c = [nn.GroupNorm(num_groups=ng, dtype=self.dtype,
+                             name=f"cls_gn{i}")
+                for i in range(self.stacked_convs)] if self.use_gn else None
+        gn_r = [nn.GroupNorm(num_groups=ng, dtype=self.dtype,
+                             name=f"reg_gn{i}")
+                for i in range(self.stacked_convs)] if self.use_gn else None
         bias_init = nn.initializers.constant(
             float(-np.log((1 - 0.01) / 0.01)))
         conv_cls = nn.Conv(self.num_classes, (3, 3),
@@ -51,14 +64,37 @@ class FoveaHead(nn.Module):
                            dtype=self.dtype,
                            kernel_init=nn.initializers.normal(0.01),
                            name="fovea_reg")
+        if self.with_deform:
+            align_off = nn.Conv(18, (1, 1), use_bias=False,
+                                dtype=self.dtype,
+                                kernel_init=nn.initializers.zeros,
+                                name="align_offset")
+            align_kernel = self.param(
+                "align_kernel",
+                nn.initializers.variance_scaling(2.0, "fan_out",
+                                                 "normal"),
+                (3, 3, self.feat_channels, self.feat_channels),
+                jnp.float32)
         cls_out, reg_out = [], []
         for x in feats:
             c = r = x
             for i in range(self.stacked_convs):
-                c = nn.relu(cls_convs[i](c))
-                r = nn.relu(reg_convs[i](r))
+                c = cls_convs[i](c)
+                r = reg_convs[i](r)
+                if self.use_gn:
+                    c = gn_c[i](c)
+                    r = gn_r[i](r)
+                c = nn.relu(c)
+                r = nn.relu(r)
+            reg = conv_reg(r).astype(jnp.float32)
+            if self.with_deform:
+                from ...ops.deform_conv import deform_conv2d
+                off = align_off(jnp.exp(reg).astype(self.dtype))
+                c = nn.relu(deform_conv2d(
+                    c, off.astype(jnp.float32),
+                    align_kernel.astype(c.dtype)))
             cls_out.append(conv_cls(c).astype(jnp.float32))
-            reg_out.append(conv_reg(r).astype(jnp.float32))
+            reg_out.append(reg)
         return cls_out, reg_out
 
 

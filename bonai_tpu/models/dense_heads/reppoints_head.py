@@ -34,8 +34,11 @@ from ..losses import sigmoid_focal_loss, smooth_l1_loss
 
 
 class RepPointsHead(nn.Module):
-    """reference ``reppoints_head.py:107-149`` (moment transform,
-    ``center_init=True``, no grid points)."""
+    """reference ``reppoints_head.py:107-149``.
+
+    Variant axes (reference ``configs/reppoints/``): ``transform_method``
+    moment / minmax / partial_minmax, ``use_grid_points`` (bbox-grid
+    representation, *bbox_r50_grid* configs) and ``center_init``."""
     num_classes: int = 1
     in_channels: int = 256
     feat_channels: int = 256
@@ -45,6 +48,10 @@ class RepPointsHead(nn.Module):
     gradient_mul: float = 0.1
     moment_mul: float = 0.01
     num_levels: int = 5
+    transform_method: str = "moment"
+    use_grid_points: bool = False
+    center_init: bool = True
+    point_base_scale: int = 4
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -72,7 +79,8 @@ class RepPointsHead(nn.Module):
                                 padding=[(1, 1), (1, 1)], dtype=self.dtype,
                                 kernel_init=nn.initializers.normal(0.01),
                                 name="pts_init_conv")
-        pts_init_out = nn.Conv(2 * self.num_points, (1, 1),
+        pts_out_dim = 4 if self.use_grid_points else 2 * self.num_points
+        pts_init_out = nn.Conv(pts_out_dim, (1, 1),
                                dtype=self.dtype,
                                kernel_init=nn.initializers.normal(0.01),
                                name="pts_init_out")
@@ -81,7 +89,7 @@ class RepPointsHead(nn.Module):
         cls_out_conv = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
                                kernel_init=nn.initializers.normal(0.01),
                                bias_init=bias_init, name="cls_out")
-        pts_refine_out = nn.Conv(2 * self.num_points, (1, 1),
+        pts_refine_out = nn.Conv(pts_out_dim, (1, 1),
                                  dtype=self.dtype,
                                  kernel_init=nn.initializers.normal(0.01),
                                  name="pts_refine_out")
@@ -102,14 +110,31 @@ class RepPointsHead(nn.Module):
             np.stack([by.ravel(), bx.ravel()], 1).reshape(-1),
             jnp.float32)                                     # (2*KK,) y-first
 
+        # grid/center-off init: points start on a regular grid over a
+        # point_base_scale box (reference forward_single:256-264)
+        scale = self.point_base_scale / 2.0
+        points_init0 = base / jnp.max(jnp.abs(base)) * scale
+        bbox_init0 = jnp.asarray([-scale, -scale, scale, scale],
+                                 jnp.float32)
+
         cls_out, init_out, refine_out = [], [], []
         for x in feats:
             c = r = x
             for i in range(self.stacked_convs):
                 c = nn.relu(gn_c[i](cls_convs[i](c)))
                 r = nn.relu(gn_r[i](reg_convs[i](r)))
-            pts_init = pts_init_out(
-                nn.relu(pts_init_conv(r))).astype(jnp.float32)  # (B,H,W,2n)
+            raw_init = pts_init_out(
+                nn.relu(pts_init_conv(r))).astype(jnp.float32)
+            if self.use_grid_points:
+                prev = jnp.broadcast_to(bbox_init0,
+                                        raw_init.shape[:-1] + (4,))
+                pts_init, bbox_out_init = _gen_grid_from_reg(
+                    raw_init, prev, kk)
+            else:
+                pts_init = raw_init
+                if not self.center_init:
+                    pts_init = pts_init + points_init0[None, None, None, :]
+                bbox_out_init = None
             pts_mix = (1 - self.gradient_mul) * \
                 jax.lax.stop_gradient(pts_init) + \
                 self.gradient_mul * pts_init
@@ -121,10 +146,36 @@ class RepPointsHead(nn.Module):
                 r, dcn_off.astype(cdtype), ref_dcn_w.astype(cdtype)))
             cls_out.append(cls_out_conv(cls_feat).astype(jnp.float32))
             init_out.append(pts_init)
-            refine_out.append(
-                pts_refine_out(ref_feat).astype(jnp.float32)
-                + jax.lax.stop_gradient(pts_init))
+            raw_refine = pts_refine_out(ref_feat).astype(jnp.float32)
+            if self.use_grid_points:
+                pts_refine, _ = _gen_grid_from_reg(
+                    raw_refine, jax.lax.stop_gradient(bbox_out_init), kk)
+            else:
+                pts_refine = raw_refine + jax.lax.stop_gradient(pts_init)
+            refine_out.append(pts_refine)
         return cls_out, init_out, refine_out, moment_transfer
+
+
+def _gen_grid_from_reg(reg, prev_boxes, kk):
+    """(dx, dy, dw, dh) regression from ``prev_boxes`` -> a kk x kk point
+    grid over the regressed box (reference ``gen_grid_from_reg:216-247``).
+
+    reg/prev_boxes: (..., 4) NHWC-last; returns (grid_yx (..., 2*kk*kk)
+    y-first, regressed boxes (..., 4))."""
+    cxy = (prev_boxes[..., :2] + prev_boxes[..., 2:]) * 0.5
+    wh = jnp.clip(prev_boxes[..., 2:] - prev_boxes[..., :2], 1e-6)
+    tl = cxy + wh * reg[..., :2] - 0.5 * wh * jnp.exp(reg[..., 2:])
+    new_wh = wh * jnp.exp(reg[..., 2:])
+    t = jnp.linspace(0.0, 1.0, kk)
+    # grid_y varies along the first kernel axis, grid_x along the second
+    gy = tl[..., 1:2] + new_wh[..., 1:2] * t            # (..., kk)
+    gx = tl[..., 0:1] + new_wh[..., 0:1] * t            # (..., kk)
+    gy2 = jnp.repeat(gy[..., :, None], kk, axis=-1)     # (..., kk, kk)
+    gx2 = jnp.repeat(gx[..., None, :], kk, axis=-2)     # (..., kk, kk)
+    grid = jnp.stack([gy2, gx2], -1)                    # (..., kk, kk, 2)
+    grid = grid.reshape(grid.shape[:-3] + (2 * kk * kk,))
+    boxes = jnp.concatenate([tl, tl + new_wh], -1)
+    return grid, boxes
 
 
 def points2bbox_moment(pts_xy, moment_transfer, moment_mul=0.01):
@@ -140,6 +191,21 @@ def points2bbox_moment(pts_xy, moment_transfer, moment_mul=0.01):
           + jax.lax.stop_gradient(moment_transfer) * (1 - moment_mul))
     half = std * jnp.exp(mt)                               # (..., 2)
     return jnp.concatenate([mean - half, mean + half], axis=-1)
+
+
+def points2bbox(pts_xy, moment_transfer=None, moment_mul=0.01,
+                method="moment"):
+    """Point set -> bbox under the configured transform (reference
+    ``points2bbox:175-215``: moment / minmax / partial_minmax)."""
+    if method == "moment":
+        return points2bbox_moment(pts_xy, moment_transfer, moment_mul)
+    if method == "partial_minmax":
+        pts_xy = pts_xy[..., :4, :]
+    elif method != "minmax":
+        raise KeyError(f"unknown transform_method {method}")
+    mn = jnp.min(pts_xy, axis=-2)
+    mx = jnp.max(pts_xy, axis=-2)
+    return jnp.concatenate([mn, mx], axis=-1)
 
 
 def _pts_yfirst_to_xy(pred, num_points):
@@ -187,7 +253,9 @@ def reppoints_loss(cls_scores, pts_init, pts_refine, moment_transfer,
                    init_assign_scale=4, init_pos_num=1,
                    refine_pos_iou=0.5, refine_neg_iou=0.4,
                    loss_init_weight=0.5, loss_refine_weight=1.0,
-                   bbox_beta=0.11):
+                   bbox_beta=0.11, transform_method="moment",
+                   init_assigner="point", init_pos_iou=0.5,
+                   init_neg_iou=0.4):
     """Batched RepPoints loss (reference ``reppoints_head.py:528-659``)."""
     b = cls_scores[0].shape[0]
     cls_flat = jnp.concatenate(
@@ -205,17 +273,34 @@ def reppoints_loss(cls_scores, pts_init, pts_refine, moment_transfer,
 
     init_xy = decode(init_flat)
     refine_xy = decode(refine_flat)
-    bbox_init = points2bbox_moment(init_xy, moment_transfer)
-    bbox_refine = points2bbox_moment(refine_xy, moment_transfer)
+    bbox_init = points2bbox(init_xy, moment_transfer,
+                            method=transform_method)
+    bbox_refine = points2bbox(refine_xy, moment_transfer,
+                              method=transform_method)
     norm = point_base_scale * strides_flat                  # (P,)
 
-    # ---- init stage: PointAssigner on the centers ----
-    def init_one(gb, gv):
-        assigned = point_assign(centers_flat, lvl_flat, gb, gv,
-                                scale=init_assign_scale,
-                                pos_num=init_pos_num)
-        matched = jnp.maximum(assigned - 1, 0)
-        return assigned > 0, gb[matched]
+    # ---- init stage: PointAssigner on the centers (or, for the
+    # grid-points configs, MaxIoU on point_base_scale squares — reference
+    # bbox_r50_grid_fpn's ``init.assigner=MaxIoUAssigner`` override) ----
+    if init_assigner == "max_iou":
+        half = (point_base_scale * strides_flat * 0.5)[:, None]
+        squares = jnp.concatenate([centers_flat - half,
+                                   centers_flat + half], -1)
+
+        def init_one(gb, gv):
+            assigned, _ = max_iou_assign(
+                squares, gb, gv, pos_iou_thr=init_pos_iou,
+                neg_iou_thr=init_neg_iou, min_pos_iou=0.0,
+                match_low_quality=True)
+            matched = jnp.maximum(assigned - 1, 0)
+            return assigned > 0, gb[matched]
+    else:
+        def init_one(gb, gv):
+            assigned = point_assign(centers_flat, lvl_flat, gb, gv,
+                                    scale=init_assign_scale,
+                                    pos_num=init_pos_num)
+            matched = jnp.maximum(assigned - 1, 0)
+            return assigned > 0, gb[matched]
 
     pos_i, tgt_i = jax.vmap(init_one)(gt_bboxes, gt_valid)
     npos_i = jnp.maximum(jnp.sum(pos_i), 1.0)
@@ -259,7 +344,8 @@ def reppoints_loss(cls_scores, pts_init, pts_refine, moment_transfer,
 
 def reppoints_bboxes_single(cls_scores, pts_refine, moment_transfer,
                             centers_levels, strides, img_shape,
-                            num_classes, cfg, num_points=9):
+                            num_classes, cfg, num_points=9,
+                            transform_method="moment"):
     """Single-image RepPoints inference (reference ``get_bboxes``)."""
     nms_pre = int(cfg.get("nms_pre", 1000))
     boxes_all, scores_all = [], []
@@ -268,7 +354,8 @@ def reppoints_bboxes_single(cls_scores, pts_refine, moment_transfer,
         s = jax.nn.sigmoid(cs.reshape(-1, num_classes))
         xy = _pts_yfirst_to_xy(pr.reshape(-1, 2 * num_points), num_points)
         xy = xy * st + ctr[:, None, :]
-        boxes = points2bbox_moment(xy, moment_transfer)
+        boxes = points2bbox(xy, moment_transfer,
+                            method=transform_method)
         boxes = jnp.stack([
             jnp.clip(boxes[:, 0], 0, img_shape[1]),
             jnp.clip(boxes[:, 1], 0, img_shape[0]),
