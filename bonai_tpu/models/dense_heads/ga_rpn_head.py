@@ -332,3 +332,171 @@ def ga_proposals_single(cls_scores, bbox_preds, shape_preds, loc_preds,
     max_num = int(cfg.get("max_num", 1000))
     top, idx = jax.lax.top_k(s_k, min(max_num, s_k.shape[0]))
     return boxes[idx], top, top > 0
+
+
+class GARetinaHead(nn.Module):
+    """Guided-Anchor RetinaNet head (reference ``ga_retina_head.py:10-120``):
+    retina conv towers, then loc/shape branches; cls and reg features are
+    separately adapted by shape-driven deformable convs before the final
+    masked cls/reg convs (masking realised by score filtering at
+    inference, see GARPNHead notes)."""
+    num_classes: int = 1
+    in_channels: int = 256
+    feat_channels: int = 256
+    stacked_convs: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats):
+        init = nn.initializers.normal(0.01)
+        loc_bias = nn.initializers.constant(
+            float(-np.log((1 - 0.01) / 0.01)))
+        cls_convs = [nn.Conv(self.feat_channels, (3, 3),
+                             padding=[(1, 1), (1, 1)], dtype=self.dtype,
+                             kernel_init=init, name=f"cls_conv{i}")
+                     for i in range(self.stacked_convs)]
+        reg_convs = [nn.Conv(self.feat_channels, (3, 3),
+                             padding=[(1, 1), (1, 1)], dtype=self.dtype,
+                             kernel_init=init, name=f"reg_conv{i}")
+                     for i in range(self.stacked_convs)]
+        conv_loc = nn.Conv(1, (1, 1), dtype=self.dtype, kernel_init=init,
+                           bias_init=loc_bias, name="conv_loc")
+        conv_shape = nn.Conv(2, (1, 1), dtype=self.dtype, kernel_init=init,
+                             name="conv_shape")
+        off_cls = nn.Conv(18, (1, 1), use_bias=False, dtype=self.dtype,
+                          kernel_init=nn.initializers.zeros,
+                          name="offset_cls")
+        off_reg = nn.Conv(18, (1, 1), use_bias=False, dtype=self.dtype,
+                          kernel_init=nn.initializers.zeros,
+                          name="offset_reg")
+        adapt_cls_k = self.param(
+            "adaption_cls_kernel",
+            nn.initializers.variance_scaling(2.0, "fan_out", "normal"),
+            (3, 3, self.feat_channels, self.feat_channels), jnp.float32)
+        adapt_reg_k = self.param(
+            "adaption_reg_kernel",
+            nn.initializers.variance_scaling(2.0, "fan_out", "normal"),
+            (3, 3, self.feat_channels, self.feat_channels), jnp.float32)
+        retina_cls = nn.Conv(self.num_classes, (3, 3),
+                             padding=[(1, 1), (1, 1)], dtype=self.dtype,
+                             kernel_init=init, bias_init=loc_bias,
+                             name="retina_cls")
+        retina_reg = nn.Conv(4, (3, 3), padding=[(1, 1), (1, 1)],
+                             dtype=self.dtype, kernel_init=init,
+                             name="retina_reg")
+        outs = []
+        for x in feats:
+            c = r = x.astype(self.dtype)
+            for i in range(self.stacked_convs):
+                c = nn.relu(cls_convs[i](c))
+                r = nn.relu(reg_convs[i](r))
+            loc = conv_loc(c).astype(jnp.float32)
+            shape = conv_shape(r).astype(jnp.float32)
+            sp_sg = jax.lax.stop_gradient(shape).astype(self.dtype)
+            c = nn.relu(deform_conv2d(
+                c, off_cls(sp_sg).astype(jnp.float32),
+                adapt_cls_k.astype(self.dtype)))
+            r = nn.relu(deform_conv2d(
+                r, off_reg(sp_sg).astype(jnp.float32),
+                adapt_reg_k.astype(self.dtype)))
+            outs.append((retina_cls(c).astype(jnp.float32),
+                         retina_reg(r).astype(jnp.float32), shape, loc))
+        return tuple(zip(*outs))
+
+
+def ga_retina_loss(cls_scores, bbox_preds, shape_preds, loc_preds,
+                   squares_levels, approxs_levels, gt_bboxes, gt_valid,
+                   gt_labels, num_classes, rng, train_cfg, strides,
+                   octave_base_scale, featmap_sizes, gamma=2.0,
+                   alpha=0.25):
+    """GA-RetinaNet loss (reference ``guided_anchor_head.py`` loss with
+    the retina focal cls): GA loc/shape losses as in ga_rpn_loss, plus
+    all-anchor focal cls + L1 reg computed on the per-image GUIDED
+    anchors."""
+    from .retina_head import retina_targets
+    from ..losses import l1_loss as _l1
+    b = cls_scores[0].shape[0]
+    ga_cfg = dict(train_cfg.get("ga_assigner", {}))
+    samp_cfg = dict(train_cfg.get("ga_sampler", {}))
+
+    loc_t, loc_w, loc_avg = ga_loc_targets(
+        gt_bboxes, gt_valid, featmap_sizes, strides, octave_base_scale,
+        center_ratio=train_cfg.get("center_ratio", 0.2),
+        ignore_ratio=train_cfg.get("ignore_ratio", 0.5))
+    loss_loc = 0.0
+    for lp, t, wgt in zip(loc_preds, loc_t, loc_w):
+        loss_loc = loss_loc + sigmoid_focal_loss(
+            lp[..., 0], t, weight=wgt, avg_factor=loc_avg)
+
+    squares_flat = jnp.concatenate(squares_levels, 0)
+    approxs_flat = jnp.concatenate(approxs_levels, 0)
+    rngs = jax.random.split(rng, b)
+    pos_mask, bbox_gts, n_sampled = jax.vmap(
+        lambda r, gb, gv: ga_shape_targets(
+            squares_flat, approxs_flat, gb, gv, r,
+            pos_iou_thr=ga_cfg.get("pos_iou_thr", 0.5),
+            neg_iou_thr=ga_cfg.get("neg_iou_thr", 0.4),
+            min_pos_iou=ga_cfg.get("min_pos_iou", 0.0),
+            sample_num=samp_cfg.get("num", 256),
+            pos_fraction=samp_cfg.get("pos_fraction", 0.5))
+    )(rngs, gt_bboxes, gt_valid)
+    shape_flat = jnp.concatenate(
+        [s.reshape(b, -1, 2) for s in shape_preds], 1)
+    guided = jax.vmap(lambda sp: decode_guided_anchors(squares_flat, sp))(
+        shape_flat)
+    w_pos = pos_mask.astype(jnp.float32)
+    loss_shape = jnp.sum(
+        bounded_iou_loss(guided, bbox_gts,
+                         beta=train_cfg.get("shape_beta", 0.2))
+        * w_pos[..., None] * 0.5) \
+        / jnp.maximum(jnp.sum(n_sampled), 1.0)
+
+    cls_flat = jnp.concatenate(
+        [s.reshape(b, -1, num_classes) for s in cls_scores],
+        1).astype(jnp.float32)
+    reg_flat = jnp.concatenate(
+        [r.reshape(b, -1, 4) for r in bbox_preds], 1).astype(jnp.float32)
+    anchors_sg = jax.lax.stop_gradient(guided)
+    onehot, cls_w, bt, bw, npos, _aux = jax.vmap(
+        lambda anc, gb, gv, gl: retina_targets(
+            anc, gb, gv, gl, num_classes,
+            dict(train_cfg["assigner"]))
+    )(anchors_sg, gt_bboxes, gt_valid, gt_labels)
+    total_pos = jnp.maximum(jnp.sum(npos), 1.0)
+    loss_cls = sigmoid_focal_loss(cls_flat, onehot, gamma, alpha,
+                                  cls_w[..., None], avg_factor=total_pos)
+    loss_bbox = _l1(reg_flat, bt, bw, avg_factor=total_pos)
+    return {"loss_cls": loss_cls, "loss_bbox": loss_bbox,
+            "loss_shape": loss_shape, "loss_loc": loss_loc}
+
+
+def ga_retina_bboxes_single(cls_scores, bbox_preds, shape_preds,
+                            loc_preds, squares_levels, img_shape,
+                            num_classes, cfg, target_stds=(1., 1., 1., 1.),
+                            loc_filter_thr=0.01):
+    """Single-image GA-RetinaNet decode: guided anchors, loc-filtered
+    sigmoid scores, per-level top-k, multiclass NMS."""
+    from ...core.nms import multiclass_nms
+    from ...core.boxes import clip_boxes
+    nms_pre = int(cfg.get("nms_pre", 1000))
+    boxes_all, scores_all = [], []
+    for cs, bp, sp, lp, sq in zip(cls_scores, bbox_preds, shape_preds,
+                                  loc_preds, squares_levels):
+        guided = decode_guided_anchors(sq, sp.reshape(-1, 2))
+        s = jax.nn.sigmoid(cs.reshape(-1, num_classes))
+        loc_keep = jax.nn.sigmoid(lp.reshape(-1)) >= loc_filter_thr
+        s = s * loc_keep[:, None]
+        k = min(nms_pre, s.shape[0])
+        _, idx = jax.lax.top_k(jnp.max(s, -1), k)
+        dec = delta2bbox(guided[idx], bp.reshape(-1, 4)[idx],
+                         (0., 0., 0., 0.), tuple(target_stds))
+        boxes_all.append(clip_boxes(dec, img_shape))
+        scores_all.append(s[idx])
+    boxes = jnp.concatenate(boxes_all, 0)
+    scores = jnp.concatenate(scores_all, 0)
+    scores = jnp.concatenate([scores,
+                              jnp.zeros((scores.shape[0], 1))], -1)
+    return multiclass_nms(boxes, scores, cfg.get("score_thr", 0.05),
+                          dict(cfg.get("nms", dict(type="nms",
+                                                   iou_threshold=0.5))),
+                          cfg.get("max_per_img", 100))

@@ -66,13 +66,18 @@ def ssd_targets(anchors, gt_bboxes, gt_valid, gt_labels, num_classes,
                         stds=target_stds)
     reg_w = is_pos.astype(jnp.float32)[:, None]
     return labels, cls_w, deltas * reg_w, \
-        jnp.broadcast_to(reg_w, deltas.shape), is_pos
+        jnp.broadcast_to(reg_w, deltas.shape), is_pos, matched, \
+        gt_bboxes[matched]
 
 
 def ssd_loss(cls_scores, bbox_preds, anchors_flat, gt_bboxes, gt_valid,
              gt_labels, num_classes, train_cfg,
-             target_stds=(0.1, 0.1, 0.2, 0.2)):
-    """Batched MultiBox loss (reference ``ssd_head.py:128-244``)."""
+             target_stds=(0.1, 0.1, 0.2, 0.2), pisa_cfg=None):
+    """Batched MultiBox loss (reference ``ssd_head.py:128-244``).
+
+    ``pisa_cfg=dict(isr=..., carl=...)`` applies ISR-P cls re-weighting
+    and the CARL regression term before hard-negative mining (reference
+    ``pisa_ssd_head.py:24-139``, configs/pisa/pisa_ssd*)."""
     b = cls_scores[0].shape[0]
     cls_flat = jnp.concatenate(
         [s.reshape(b, -1, num_classes + 1) for s in cls_scores],
@@ -80,7 +85,7 @@ def ssd_loss(cls_scores, bbox_preds, anchors_flat, gt_bboxes, gt_valid,
     reg_flat = jnp.concatenate(
         [r.reshape(b, -1, 4) for r in bbox_preds],
         axis=1).astype(jnp.float32)
-    labels, cls_w, bt, bw, is_pos = jax.vmap(
+    labels, cls_w, bt, bw, is_pos, matched, gtb = jax.vmap(
         lambda gb, gv, gl: ssd_targets(
             anchors_flat, gb, gv, gl, num_classes,
             dict(train_cfg.get("assigner", {})), target_stds))(
@@ -91,6 +96,51 @@ def ssd_loss(cls_scores, bbox_preds, anchors_flat, gt_bboxes, gt_valid,
 
     logp = jax.nn.log_softmax(cls_flat, axis=-1)
     ce = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+
+    extra = {}
+    if pisa_cfg:
+        from ..losses import carl_loss, isr_p
+        a_ = cls_flat.shape[1]
+        G = gt_bboxes.shape[1]
+        pos_f = is_pos.reshape(-1)
+        labels_f = labels.reshape(-1)
+        matched_f = (matched + jnp.arange(b)[:, None] * G).reshape(-1)
+        anc = jnp.broadcast_to(anchors_flat[None],
+                               (b,) + anchors_flat.shape).reshape(-1, 4)
+        dec = delta2bbox(anc, reg_flat.reshape(-1, 4), (0.,) * 4,
+                         tuple(target_stds))
+        gtb_f = gtb.reshape(-1, 4)
+        ix1 = jnp.maximum(dec[:, 0], gtb_f[:, 0])
+        iy1 = jnp.maximum(dec[:, 1], gtb_f[:, 1])
+        ix2 = jnp.minimum(dec[:, 2], gtb_f[:, 2])
+        iy2 = jnp.minimum(dec[:, 3], gtb_f[:, 3])
+        inter = jnp.clip(ix2 - ix1, 0) * jnp.clip(iy2 - iy1, 0)
+
+        def _area(v):
+            return jnp.clip(v[:, 2] - v[:, 0], 0) * \
+                jnp.clip(v[:, 3] - v[:, 1], 0)
+
+        ious = inter / jnp.maximum(_area(dec) + _area(gtb_f) - inter,
+                                   1e-6)
+        isr = dict(pisa_cfg.get("isr") or {})
+        if isr:
+            ce_raw = jax.lax.stop_gradient(ce).reshape(-1)
+            cls_w = isr_p(cls_w.reshape(-1), ious, pos_f, labels_f,
+                          matched_f, jnp.where(pos_f, ce_raw, 0.0),
+                          k=isr.get("k", 2.0),
+                          bias=isr.get("bias", 0.0)).reshape(b, a_)
+        carl = dict(pisa_cfg.get("carl") or {})
+        if carl:
+            prob = jax.nn.softmax(cls_flat, axis=-1).reshape(
+                -1, num_classes + 1)
+            pos_prob = jnp.take_along_axis(
+                prob, jnp.clip(labels_f, 0, num_classes)[:, None],
+                axis=1)[:, 0]
+            reg_raw = jnp.abs(reg_flat.reshape(-1, 4)
+                              - bt.reshape(-1, 4)) * bw.reshape(-1, 4)
+            extra["loss_carl"] = carl.get("loss_weight", 5.0) * carl_loss(
+                pos_prob, pos_f, reg_raw, k=carl.get("k", 1.0),
+                bias=carl.get("bias", 0.2), avg_factor=total_pos)
     ce = ce * cls_w                                        # (B, A)
 
     # hard-negative mining, static shapes: rank negatives by loss and
@@ -107,7 +157,7 @@ def ssd_loss(cls_scores, bbox_preds, anchors_flat, gt_bboxes, gt_valid,
     beta = float(train_cfg.get("smoothl1_beta", 1.0))
     loss_bbox = smooth_l1_loss(reg_flat, bt, beta, bw,
                                avg_factor=total_pos)
-    return {"loss_cls": loss_cls, "loss_bbox": loss_bbox}
+    return {"loss_cls": loss_cls, "loss_bbox": loss_bbox, **extra}
 
 
 def ssd_bboxes_single(cls_scores, bbox_preds, anchors_levels, img_shape,

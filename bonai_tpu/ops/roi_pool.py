@@ -16,7 +16,10 @@ CUDA kernel uses, minus the dynamic part count.
 
 from __future__ import annotations
 
+from typing import Any
+
 import jax
+import flax.linen as _nn
 import jax.numpy as jnp
 
 
@@ -104,3 +107,74 @@ def deform_roi_pool(feat, rois, offsets, out_size=7, spatial_scale=1.0,
                    + jnp.clip(yi, 0, H - 1)) * W + jnp.clip(xi, 0, W - 1)
             out = out + flat[idx] * ((wy * wx) * inb)[..., None]
     return jnp.mean(out, axis=(2, 4))
+
+
+def multilevel_deform_roi_pool(feats, rois, pool_one, strides,
+                               roi_valid=None, finest_scale=56):
+    """FPN-level-mapped deformable/quantised RoI pooling.
+
+    ``pool_one(feat, rois_scaled, spatial_scale)`` is applied per level
+    (reference ``SingleRoIExtractor.map_roi_levels`` rule: level =
+    floor(log2(sqrt(area) / finest_scale + 1e-6)) clamped); the per-RoI
+    result is selected from its mapped level.  Runs every level over all
+    RoIs and selects — O(L) overhead, acceptable for the dpool/mdpool
+    config family which is never on the hot path.
+    """
+    w = rois[:, 3] - rois[:, 1]
+    h = rois[:, 4] - rois[:, 2]
+    scale = jnp.sqrt(jnp.clip(w * h, 1e-6))
+    lvl = jnp.floor(jnp.log2(scale / finest_scale + 1e-6))
+    lvl = jnp.clip(lvl, 0, len(feats) - 1).astype(jnp.int32)
+    out = None
+    for i, (feat, st) in enumerate(zip(feats, strides)):
+        pooled = pool_one(feat, rois, 1.0 / st)
+        sel = (lvl == i)[:, None, None, None]
+        out = pooled * sel if out is None else out + pooled * sel
+    if roi_valid is not None:
+        out = out * roi_valid[:, None, None, None]
+    return out
+
+
+class DeformRoIPoolPack(_nn.Module):
+    """mmcv ``DeformRoIPoolPack`` / ``ModulatedDeformRoIPoolPack``
+    (reference configs/dcn/faster_rcnn_r50_fpn_{dpool,mdpool}_1x_coco.py):
+    a first zero-offset pooling pass feeds FC layers that predict per-bin
+    offsets (and, when ``modulated``, a sigmoid mask) for the second,
+    deformable pass.  The FC stacks follow the mmcv Pack layout
+    (deform_fc_channels x2 -> 2*S*S, zero-initialised final layer so the
+    op starts as plain average RoI pooling)."""
+    output_size: int = 7
+    output_channels: int = 256
+    deform_fc_channels: int = 1024
+    gamma: float = 0.1
+    modulated: bool = False
+    dtype: Any = jnp.float32
+
+    @_nn.compact
+    def __call__(self, feat, rois, spatial_scale):
+        S = self.output_size
+        R = rois.shape[0]
+        zero_off = jnp.zeros((R, S, S, 2), jnp.float32)
+        first = deform_roi_pool(feat, rois, zero_off, S, spatial_scale,
+                                self.gamma)
+        flat = first.reshape(R, -1).astype(self.dtype)
+        x = _nn.relu(_nn.Dense(self.deform_fc_channels, dtype=self.dtype,
+                               name="offset_fc0")(flat))
+        x = _nn.relu(_nn.Dense(self.deform_fc_channels, dtype=self.dtype,
+                               name="offset_fc1")(x))
+        off = _nn.Dense(2 * S * S, dtype=self.dtype,
+                        kernel_init=_nn.initializers.zeros,
+                        name="offset_fc2")(x)
+        off = off.astype(jnp.float32).reshape(R, S, S, 2)
+        out = deform_roi_pool(feat, rois, off, S, spatial_scale,
+                              self.gamma)
+        if self.modulated:
+            m = _nn.relu(_nn.Dense(self.deform_fc_channels,
+                                   dtype=self.dtype,
+                                   name="mask_fc0")(flat))
+            m = _nn.Dense(S * S, dtype=self.dtype,
+                          kernel_init=_nn.initializers.zeros,
+                          name="mask_fc1")(m)
+            mask = jax.nn.sigmoid(m.astype(jnp.float32)).reshape(R, S, S, 1)
+            out = out * mask
+        return out
