@@ -1,0 +1,5 @@
+# (reference: configs/dcn/faster_rcnn_r50_fpn_mdconv_c3-c5_group4_1x_coco.py)
+_base_ = '../faster_rcnn/faster_rcnn_r50_fpn_1x_coco.py'
+model = dict(backbone=dict(
+    dcn=dict(type='DCNv2', deform_groups=4, fallback_on_stride=False),
+    stage_with_dcn=(False, True, True, True)))

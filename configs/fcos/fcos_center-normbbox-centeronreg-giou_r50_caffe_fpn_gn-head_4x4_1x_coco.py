@@ -1,0 +1,7 @@
+# (reference: configs/fcos/fcos_center-normbbox-centeronreg-giou_r50_caffe_fpn_gn-head_4x4_1x_coco.py)
+_base_ = './fcos_r50_caffe_fpn_gn-head_4x4_1x_coco.py'
+model = dict(bbox_head=dict(
+    norm_on_bbox=True, centerness_on_reg=True,
+    dcn_on_last_conv=False, center_sampling=True,
+    center_sample_radius=1.5, conv_bias=True,
+    loss_bbox=dict(type='GIoULoss', loss_weight=1.0)))

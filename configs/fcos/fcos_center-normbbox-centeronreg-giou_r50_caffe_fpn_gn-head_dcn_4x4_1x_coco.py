@@ -1,0 +1,7 @@
+# (reference: configs/fcos/fcos_center-normbbox-centeronreg-giou_r50_caffe_fpn_gn-head_dcn_4x4_1x_coco.py)
+_base_ = './fcos_center-normbbox-centeronreg-giou_r50_caffe_fpn_gn-head_4x4_1x_coco.py'
+model = dict(
+    backbone=dict(dcn=dict(type='DCNv2', deform_groups=1,
+                           fallback_on_stride=False),
+                  stage_with_dcn=(False, True, True, True)),
+    bbox_head=dict(dcn_on_last_conv=True))

@@ -1,0 +1,3 @@
+# (reference: configs/fcos/fcos_r50_caffe_fpn_4x4_1x_coco.py)
+_base_ = './fcos_r50_caffe_fpn_gn-head_4x4_1x_coco.py'
+model = dict(bbox_head=dict(norm_cfg=None))

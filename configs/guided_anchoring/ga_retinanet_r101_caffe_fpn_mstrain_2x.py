@@ -1,0 +1,16 @@
+# (reference: configs/guided_anchoring/ga_retinanet_r101_caffe_fpn_mstrain_2x.py)
+_base_ = './ga_retinanet_r101_caffe_fpn_1x_coco.py'
+data = dict(train=dict(pipeline=[
+    dict(type='LoadImageFromFile'),
+    dict(type='LoadAnnotations', with_bbox=True),
+    dict(type='Resize',
+         img_scale=[(1333, 480), (1333, 960)],
+         multiscale_mode='range', keep_ratio=True),
+    dict(type='RandomFlip', flip_ratio=0.5),
+    dict(type='Normalize', mean=[103.530, 116.280, 123.675],
+         std=[1.0, 1.0, 1.0], to_rgb=False),
+    dict(type='Pad', size_divisor=32),
+    dict(type='DefaultFormatBundle'),
+    dict(type='Collect', keys=['img', 'gt_bboxes', 'gt_labels'])]))
+lr_config = dict(step=[16, 22])
+total_epochs = 24

@@ -1,0 +1,5 @@
+# (reference: configs/pisa/pisa_faster_rcnn_r50_fpn_1x_coco.py)
+_base_ = '../faster_rcnn/faster_rcnn_r50_fpn_1x_coco.py'
+train_cfg = dict(rcnn=dict(
+    isr=dict(k=2, bias=0),
+    carl=dict(k=1, bias=0.2, loss_weight=1.0)))

@@ -1,0 +1,6 @@
+# (reference: configs/pisa/pisa_retinanet_x101_32x4d_fpn_1x_coco.py)
+_base_ = './pisa_retinanet_r50_fpn_1x_bonai.py'
+model = dict(
+    pretrained='open-mmlab://resnext101_32x4d',
+    backbone=dict(type='ResNeXt', depth=101, groups=32,
+                  base_width=4))

@@ -1,0 +1,4 @@
+# (reference: configs/reppoints/bbox_r50_grid_center_fpn_gn-neck+head_1x_coco.py)
+_base_ = './reppoints_moment_r50_fpn_gn-neck+head_1x_coco.py'
+model = dict(bbox_head=dict(transform_method='minmax',
+                            use_grid_points=True))

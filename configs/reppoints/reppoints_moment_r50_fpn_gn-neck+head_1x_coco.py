@@ -1,0 +1,5 @@
+# (reference: configs/reppoints/reppoints_moment_r50_fpn_gn-neck+head_1x_coco.py)
+_base_ = './reppoints_moment_r50_fpn_1x_bonai.py'
+model = dict(neck=dict(norm_cfg=dict(type='GN',
+                                     num_groups=32,
+                                     requires_grad=True)))

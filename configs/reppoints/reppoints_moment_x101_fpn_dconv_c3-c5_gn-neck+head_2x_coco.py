@@ -1,0 +1,6 @@
+# (reference: configs/reppoints/reppoints_moment_x101_fpn_dconv_c3-c5_gn-neck+head_2x_coco.py)
+_base_ = './reppoints_moment_r101_fpn_dconv_c3-c5_gn-neck+head_2x_coco.py'
+model = dict(
+    pretrained='open-mmlab://resnext101_32x4d',
+    backbone=dict(type='ResNeXt', depth=101, groups=32,
+                  base_width=4))

@@ -1,0 +1,6 @@
+# (reference: configs/rpn/rpn_r50_caffe_fpn_1x_coco.py)
+_base_ = './rpn_r50_fpn_1x_coco.py'
+model = dict(
+    pretrained='open-mmlab://detectron2/resnet50_caffe',
+    backbone=dict(norm_cfg=dict(type='BN', requires_grad=False),
+                  norm_eval=True, style='caffe'))
