@@ -79,7 +79,8 @@ def train_detector(cfg, work_dir, seed=0, resume_from=None, load_from=None,
         workers_per_gpu=data_cfg.get("workers_per_gpu", 2),
         num_devices=nd, seed=seed,
         max_gt=data_cfg.get("max_gt", 256),
-        inst_mask_size=data_cfg.get("inst_mask_size", 112))
+        inst_mask_size=data_cfg.get("inst_mask_size", 112),
+        loader_mode=data_cfg.get("loader_mode", "thread"))
     steps_per_epoch = max(len(loader), 1)
     total_epochs = cfg.get("total_epochs", 12)
 

@@ -255,12 +255,55 @@ def pack_sample(result, max_gt, inst_mask_size, train=True):
     return out, metas
 
 
+_POOL_STATE = {}
+
+
+def _pool_init(dataset, batch_size, max_gt, inst_mask_size, train):
+    """Process-pool worker initialiser (fork start method: the dataset
+    index arrives via copy-on-write, not pickling)."""
+    _POOL_STATE.update(dataset=dataset, batch_size=batch_size,
+                       max_gt=max_gt, inst_mask_size=inst_mask_size,
+                       train=train)
+
+
+def _pool_make_batch(args):
+    """Build one packed batch inside a worker process."""
+    idx_list, seed = args
+    st = _POOL_STATE
+    rng = np.random.RandomState(seed)
+    samples, metas = [], []
+    for idx in idx_list:
+        for _ in range(32):
+            res = st["dataset"].prepare(int(idx), rng)
+            if res is not None:
+                s, m = pack_sample(res, st["max_gt"],
+                                   st["inst_mask_size"], st["train"])
+                break
+            idx = rng.randint(len(st["dataset"]))
+        else:
+            raise RuntimeError("too many empty samples")
+        samples.append(s)
+        metas.append(m)
+    batch = {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+    return batch, metas
+
+
 class DataLoader:
-    """Thread-prefetched fixed-shape batch iterator."""
+    """Prefetched fixed-shape batch iterator.
+
+    ``mode='thread'`` (default): a ThreadPoolExecutor overlaps decode/
+    augment with the device step (cv2 releases the GIL for the decode).
+    ``mode='process'``: a fork-based ProcessPoolExecutor sidesteps the
+    GIL entirely — the reference's worker-process model
+    (``mmdet/datasets/builder.py:77-144``) for hosts where the python
+    augment/pack stage, not the decode, is the bottleneck.
+    """
 
     def __init__(self, dataset, batch_size, max_gt=256, inst_mask_size=112,
                  shuffle=True, seed=0, train=True, drop_last=None,
-                 shard_id=0, num_shards=1, prefetch=2):
+                 shard_id=0, num_shards=1, prefetch=2, mode="thread"):
+        self.mode = mode
+        self._pool = None
         self.dataset = dataset
         self.batch_size = batch_size
         self.max_gt = max_gt
@@ -317,8 +360,50 @@ class DataLoader:
             idx = rng.randint(len(self.dataset))
         raise RuntimeError("too many empty samples")
 
+    def _process_pool(self):
+        if self._pool is None:
+            import multiprocessing as mp
+            from concurrent.futures import ProcessPoolExecutor
+            ctx = mp.get_context("fork")
+            self._pool = ProcessPoolExecutor(
+                max_workers=self.prefetch, mp_context=ctx,
+                initializer=_pool_init,
+                initargs=(self.dataset, self.batch_size, self.max_gt,
+                          self.inst_mask_size, self.train))
+        return self._pool
+
+    def _iter_process(self):
+        indices = self._epoch_indices()
+        nb = len(self)
+        base_seed = (self.seed + self.epoch) * 9973 + self.shard_id
+        ex = self._process_pool()
+
+        def batch_args(bi):
+            ks = [int(indices[(bi * self.batch_size + j)
+                              % max(len(indices), 1)])
+                  for j in range(self.batch_size)]
+            return ks, base_seed + bi
+
+        futures = [ex.submit(_pool_make_batch, batch_args(i))
+                   for i in range(min(self.prefetch, nb))]
+        nxt = len(futures)
+        for i in range(nb):
+            batch, metas = futures[i % self.prefetch].result()
+            if nxt < nb:
+                futures[nxt % self.prefetch] = ex.submit(
+                    _pool_make_batch, batch_args(nxt))
+                nxt += 1
+            for m in metas:
+                if m.get("gt_truncated"):
+                    self.truncated_instances += m["gt_truncated"]
+                    self.truncated_samples += 1
+            yield batch, metas
+
     def __iter__(self):
         from concurrent.futures import ThreadPoolExecutor
+        if self.mode == "process":
+            yield from self._iter_process()
+            return
         indices = self._epoch_indices()
         nb = len(self)
         rng = np.random.RandomState(
@@ -356,12 +441,13 @@ class DataLoader:
 def build_dataloader(dataset, samples_per_gpu, workers_per_gpu=2,
                      num_devices=1, shuffle=True, seed=0, max_gt=256,
                      inst_mask_size=112, train=True, shard_id=0,
-                     num_shards=1, **kwargs):
+                     num_shards=1, loader_mode="thread", **kwargs):
     """reference: ``mmdet/datasets/builder.py:77-144``.  The global batch is
     ``samples_per_gpu * num_devices`` (DDP parity: per-device batch stays
-    ``samples_per_gpu``)."""
+    ``samples_per_gpu``).  ``loader_mode='process'`` selects the
+    fork-based worker-process pool (reference DataLoader worker model)."""
     return DataLoader(dataset, batch_size=samples_per_gpu * num_devices,
                       max_gt=max_gt, inst_mask_size=inst_mask_size,
                       shuffle=shuffle, seed=seed, train=train,
                       shard_id=shard_id, num_shards=num_shards,
-                      prefetch=max(2, workers_per_gpu))
+                      prefetch=max(2, workers_per_gpu), mode=loader_mode)

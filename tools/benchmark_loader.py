@@ -78,10 +78,11 @@ def main():
     t_pack = (time.perf_counter() - t0) / len(outs)
 
     # ---- end-to-end loader ----
-    def run_loader(dataset, epochs=1):
+    def run_loader(dataset, epochs=1, mode="thread"):
         loader = build_dataloader(dataset, samples_per_gpu=args.batch,
                                   workers_per_gpu=args.workers,
-                                  num_devices=1, seed=0)
+                                  num_devices=1, seed=0,
+                                  loader_mode=mode)
         n = 0
         t0 = time.perf_counter()
         for ep in range(epochs):
@@ -91,6 +92,7 @@ def main():
         return n / (time.perf_counter() - t0)
 
     rate_cold = run_loader(ds)
+    rate_proc = run_loader(ds, mode="process")
 
     cache_dir = osp.join(root, "imgcache")
     cached_pipeline = [dict(t) for t in TRAIN_PIPELINE]
@@ -109,6 +111,7 @@ def main():
         },
         "loader_img_per_sec": {
             "cold_decode": round(rate_cold, 2),
+            "cold_decode_process_pool": round(rate_proc, 2),
             "warm_cache": round(rate_warm, 2),
         },
         "host_cores": ncores,
