@@ -13,6 +13,7 @@ import logging
 import os
 import os.path as osp
 import random
+import sys
 import time
 
 import jax
@@ -164,7 +165,8 @@ def train_detector(cfg, work_dir, seed=0, resume_from=None, load_from=None,
                 and tr.get("device"):
             img_norm = dict(mean=tr["mean"], std=tr["std"])
     train_step = make_train_step(model, tx, mesh=mesh,
-                                 lr_schedule=schedule, img_norm=img_norm)
+                                 lr_schedule=schedule, img_norm=img_norm,
+                                 donate_batch=True)
     log_interval = log_interval or cfg.get("log_config", {}).get("interval", 10)
     ckpt_interval = checkpoint_interval or cfg.get(
         "checkpoint_config", {}).get("interval", 1)
@@ -197,6 +199,24 @@ def train_detector(cfg, work_dir, seed=0, resume_from=None, load_from=None,
     step = start_step
     t0 = time.time()
     history = []
+
+    # Host-RSS watchdog (round-5 post-mortem: the tunneled TPU platform
+    # leaked host transfer buffers until the kernel OOM-killed two long
+    # runs at 128 GB with empty logs).  RSS is logged every interval; past
+    # the threshold the run checkpoints and exits cleanly with code 75 so
+    # a wrapper (tools/train_chunked.sh) can resume in a fresh process.
+    max_rss_gb = float(os.environ.get("BONAI_MAX_RSS_GB", "100"))
+
+    def host_rss_gb():
+        try:
+            with open("/proc/self/status") as f:
+                for line in f:
+                    if line.startswith("VmRSS"):
+                        return int(line.split()[1]) / 1e6
+        except OSError:
+            pass
+        return 0.0
+
     from ..engine.train_step import device_prefetch
     for epoch in range(start_epoch, total_epochs):
         loader.set_epoch(epoch)
@@ -230,7 +250,9 @@ def train_detector(cfg, work_dir, seed=0, resume_from=None, load_from=None,
                 metrics = {k: float(v) for k, v in metrics.items()}
                 dt = (time.time() - t0) / log_interval
                 t0 = time.time()
+                rss = host_rss_gb()
                 rec = dict(epoch=epoch + 1, iter=step, time=round(dt, 3),
+                           host_rss_gb=round(rss, 2),
                            **{k: round(v, 4) for k, v in metrics.items()})
                 if loader.truncated_samples:
                     rec["gt_truncated"] = loader.truncated_instances
@@ -242,6 +264,16 @@ def train_detector(cfg, work_dir, seed=0, resume_from=None, load_from=None,
                                      for k, v in metrics.items()))
                 with open(log_path, "a") as f:
                     f.write(json.dumps(rec) + "\n")
+                if rss > max_rss_gb:
+                    logger.warning(
+                        "host RSS %.1f GB > BONAI_MAX_RSS_GB=%.0f; "
+                        "checkpointing and exiting 75 for a clean "
+                        "restart", rss, max_rss_gb)
+                    save_checkpoint(work_dir, step, state,
+                                    meta=dict(epoch=epoch + 1, step=step,
+                                              preempt_rss=rss,
+                                              **provenance))
+                    sys.exit(75)
         if max_steps is not None and step >= max_steps:
             break
         if (epoch + 1) % ckpt_interval == 0:

@@ -39,7 +39,7 @@ from .train_state import TrainState
 
 
 def make_train_step(model, tx, mesh=None, axis_name="data", donate=True,
-                    lr_schedule=None, img_norm=None):
+                    lr_schedule=None, img_norm=None, donate_batch=False):
     """Build the compiled train step ``(state, batch, rng) -> (state, metrics)``.
 
     With a mesh, the step is shard_map'd: batch sharded over ``axis_name``,
@@ -49,6 +49,14 @@ def make_train_step(model, tx, mesh=None, axis_name="data", donate=True,
     ``img_norm``: optional ``dict(mean=(3,), std=(3,))`` — the deferred
     half of ``Normalize(device=True)``: uint8 images cross the tunnel
     raw and are normalised here, fused into the compiled step.
+
+    ``donate_batch``: also donate the batch buffers.  The training loop
+    sends a FRESH batch every step, so its input buffers are dead after
+    the step; donating lets the runtime release/reuse them immediately —
+    on the tunneled TPU platform, host-side transfer buffers were
+    observed to accumulate ~40 MB/step without this (round-5 OOM
+    post-mortem).  Leave False when the same batch object is reused
+    across calls (bench.py's chained timing).
     """
     n_mean = n_std = None
     if img_norm is not None:
@@ -94,14 +102,17 @@ def make_train_step(model, tx, mesh=None, axis_name="data", donate=True,
                                   step=state.step + 1)
         return new_state, metrics
 
+    dargs = (0,) if donate else ()
+    if donate_batch:
+        dargs = dargs + (1,)
     if mesh is None:
-        return jax.jit(local_step, donate_argnums=(0,) if donate else ())
+        return jax.jit(local_step, donate_argnums=dargs)
 
     mapped = shard_map(
         local_step, mesh=mesh,
         in_specs=(P(), P(axis_name), P()),
         out_specs=(P(), P()))
-    return jax.jit(mapped, donate_argnums=(0,) if donate else ())
+    return jax.jit(mapped, donate_argnums=dargs)
 
 
 def make_eval_step(model, mesh=None, axis_name="data"):

@@ -28,7 +28,9 @@ train_pipeline = [
     dict(type='Resize', img_scale=(1024, 1024), keep_ratio=True),
     dict(type='RandomFlip', flip_ratio=0.5,
          direction=['horizontal', 'vertical']),
-    dict(type='Normalize', **img_norm_cfg),
+    # device=True: uint8 across the tunnel (4x fewer bytes/step), the
+    # float normalisation fuses into the compiled train step
+    dict(type='Normalize', device=True, **img_norm_cfg),
     dict(type='Pad', size_divisor=32),
     dict(type='DefaultFormatBundle'),
     dict(type='Collect',
