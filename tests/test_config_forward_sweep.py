@@ -103,6 +103,10 @@ def test_family_forward_train(fam, path):
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, size, size, 3)))
     batch = sweep_batch(size)
+    if dict(cfg.model).get("type") == "FastRCNN":
+        # proposal-based detector: external proposals replace the RPN
+        batch["proposals"] = batch["gt_bboxes"]
+        batch["proposals_valid"] = batch["gt_valid"]
     losses = jax.jit(lambda v, b: model.apply(
         v, b, method="forward_train",
         rngs={"sampling": jax.random.PRNGKey(1)}))(variables, batch)
