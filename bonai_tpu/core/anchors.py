@@ -203,6 +203,26 @@ class SSDAnchorGenerator(AnchorGenerator):
 
 
 @ANCHOR_GENERATORS.register_module()
+class LegacySSDAnchorGenerator(SSDAnchorGenerator):
+    """MMDet v1.x SSD anchors (reference ``anchor_generator.py:563-600``,
+    the legacy_1.x ssd300_coco_v1 config): centers sit at
+    ``(stride - 1) / 2`` and base anchors use the v1.x ``size - 1``
+    corner convention."""
+
+    # v1.x corner convention comes from the legacy base-anchor formula
+    _single_level_base_anchors = \
+        LegacyAnchorGenerator._single_level_base_anchors
+
+    def __init__(self, strides, ratios, basesize_ratio_range,
+                 input_size=300, scale_major=False):
+        super().__init__(strides, ratios, basesize_ratio_range,
+                         input_size, scale_major)
+        self.centers = [((s[0] - 1) / 2.0, (s[1] - 1) / 2.0)
+                        for s in self.strides]
+        self.base_anchors = self.gen_base_anchors()
+
+
+@ANCHOR_GENERATORS.register_module()
 class RAnchorGenerator(AnchorGenerator):
     """Rotated anchors — adds an ``angles`` axis; anchors become
     ``(xc, yc, w, h, θ)`` (reference:

@@ -189,6 +189,24 @@ def iou_balanced_neg_sample(rng, assigned_gt_inds, max_overlaps, num,
     _, pos_sel = jax.lax.top_k(pos_key, min(num_expected_pos, n))
     chosen_pos = jnp.zeros(n, bool).at[pos_sel].set(True) & is_pos
 
+    chosen_neg = _iou_balanced_neg_mask(
+        u_neg, is_neg, max_overlaps, num_expected_neg,
+        floor_thr, floor_fraction, num_bins)
+
+    # bands: quota positives (3, 4) > quota negatives (1, 2) > refill
+    # negatives (0, 1); top_k(num) fills shortfall from the refill band
+    pos_band = jnp.where(chosen_pos, 3.0 + u_pos, 0.0)
+    neg_band = jnp.where(chosen_neg, 1.0 + u_neg,
+                         jnp.where(is_neg, u_fill, 0.0))
+    return _banded_topk(assigned_gt_inds, pos_band, neg_band, num)
+
+
+def _iou_balanced_neg_mask(u_neg, is_neg, max_overlaps, num_expected_neg,
+                           floor_thr, floor_fraction, num_bins):
+    """Negative quota mask of the IoU-balanced sampler (see
+    ``iou_balanced_neg_sample``); factored out so ``CombinedSampler``
+    can pair it with a different positive sampler."""
+    n = is_neg.shape[0]
     neg_iou = jnp.where(is_neg, max_overlaps, -jnp.inf)
     if floor_thr >= 0:
         in_floor = is_neg & (max_overlaps < floor_thr) \
@@ -222,13 +240,7 @@ def iou_balanced_neg_sample(rng, assigned_gt_inds, max_overlaps, num,
         _, sel = jax.lax.top_k(floor_key, min(num_floor, n))
         chosen_neg = chosen_neg | (jnp.zeros(n, bool).at[sel].set(True)
                                    & in_floor)
-
-    # bands: quota positives (3, 4) > quota negatives (1, 2) > refill
-    # negatives (0, 1); top_k(num) fills shortfall from the refill band
-    pos_band = jnp.where(chosen_pos, 3.0 + u_pos, 0.0)
-    neg_band = jnp.where(chosen_neg, 1.0 + u_neg,
-                         jnp.where(is_neg, u_fill, 0.0))
-    return _banded_topk(assigned_gt_inds, pos_band, neg_band, num)
+    return chosen_neg
 
 
 def _within_group_rank(group_ids, order_key):
@@ -273,6 +285,21 @@ def instance_balanced_pos_sample(rng, assigned_gt_inds, num, pos_fraction,
     u_pos = jax.random.uniform(rng_pos, (n,), minval=1e-4, maxval=1.0)
     u_neg = jax.random.uniform(rng_neg, (n,), minval=1e-4, maxval=1.0)
 
+    chosen_pos = _instance_balanced_pos_mask(u_pos, is_pos,
+                                             assigned_gt_inds,
+                                             num_expected_pos)
+
+    pos_band = jnp.where(chosen_pos, 3.0 + u_pos, 0.0)
+    neg_band = jnp.where(is_neg, u_neg, 0.0)
+    return _banded_topk(assigned_gt_inds, pos_band, neg_band, num)
+
+
+def _instance_balanced_pos_mask(u_pos, is_pos, assigned_gt_inds,
+                                num_expected_pos):
+    """Positive quota mask of the instance-balanced sampler (see
+    ``instance_balanced_pos_sample``); factored out for
+    ``CombinedSampler``."""
+    n = is_pos.shape[0]
     # num_gts = distinct matched instances among positives
     gids = jnp.where(is_pos, assigned_gt_inds, 0)
     rank = _within_group_rank(gids, u_pos)
@@ -286,10 +313,57 @@ def instance_balanced_pos_sample(rng, assigned_gt_inds, num, pos_fraction,
     pos_key = jnp.where(in_quota, 5.0 + u_pos,
                         jnp.where(is_pos, 3.0 + u_pos, 0.0))
     _, pos_sel = jax.lax.top_k(pos_key, min(num_expected_pos, n))
-    chosen_pos = jnp.zeros(n, bool).at[pos_sel].set(True) & is_pos
+    return jnp.zeros(n, bool).at[pos_sel].set(True) & is_pos
+
+
+def combined_sample(rng, assigned_gt_inds, max_overlaps, num, pos_fraction,
+                    pos_cfg=None, neg_cfg=None, neg_pos_ub=-1):
+    """``CombinedSampler`` (reference
+    ``mmdet/core/bbox/samplers/combined_sampler.py`` + the libra_rcnn
+    configs): an independent positive and negative sub-sampler feed one
+    quota-banded top-k.  Supported sub-samplers: pos
+    ``InstanceBalancedPosSampler``/``RandomSampler``, neg
+    ``IoUBalancedNegSampler``/``RandomSampler``."""
+    n = assigned_gt_inds.shape[0]
+    if num > n:
+        inner = combined_sample(rng, assigned_gt_inds, max_overlaps, n,
+                                pos_fraction, pos_cfg, neg_cfg, neg_pos_ub)
+        return {k: jnp.pad(v, (0, num - n)) for k, v in inner.items()}
+    pos_cfg = dict(pos_cfg or {})
+    neg_cfg = dict(neg_cfg or {})
+    num_expected_pos = int(num * pos_fraction)
+    num_expected_neg = num - num_expected_pos
+    is_pos = assigned_gt_inds > 0
+    is_neg = assigned_gt_inds == 0
+
+    rng_pos, rng_neg, rng_fill = jax.random.split(rng, 3)
+    u_pos = jax.random.uniform(rng_pos, (n,), minval=1e-4, maxval=1.0)
+    u_neg = jax.random.uniform(rng_neg, (n,), minval=1e-4, maxval=1.0)
+    u_fill = jax.random.uniform(rng_fill, (n,), minval=1e-4, maxval=1.0)
+
+    if pos_cfg.get("type", "RandomSampler") == "InstanceBalancedPosSampler":
+        chosen_pos = _instance_balanced_pos_mask(u_pos, is_pos,
+                                                 assigned_gt_inds,
+                                                 num_expected_pos)
+    else:
+        pos_key = jnp.where(is_pos, 1.0 + u_pos, 0.0)
+        _, sel = jax.lax.top_k(pos_key, min(num_expected_pos, n))
+        chosen_pos = jnp.zeros(n, bool).at[sel].set(True) & is_pos
+
+    if neg_cfg.get("type", "RandomSampler") == "IoUBalancedNegSampler":
+        chosen_neg = _iou_balanced_neg_mask(
+            u_neg, is_neg, max_overlaps, num_expected_neg,
+            neg_cfg.get("floor_thr", -1),
+            neg_cfg.get("floor_fraction", 0.0),
+            neg_cfg.get("num_bins", 3))
+    else:
+        neg_key = jnp.where(is_neg, 1.0 + u_neg, 0.0)
+        _, sel = jax.lax.top_k(neg_key, min(num_expected_neg, n))
+        chosen_neg = jnp.zeros(n, bool).at[sel].set(True) & is_neg
 
     pos_band = jnp.where(chosen_pos, 3.0 + u_pos, 0.0)
-    neg_band = jnp.where(is_neg, u_neg, 0.0)
+    neg_band = jnp.where(chosen_neg, 1.0 + u_neg,
+                         jnp.where(is_neg, u_fill, 0.0))
     return _banded_topk(assigned_gt_inds, pos_band, neg_band, num)
 
 

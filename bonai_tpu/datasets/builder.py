@@ -241,6 +241,18 @@ def pack_sample(result, max_gt, inst_mask_size, train=True):
         out["gt_building_heights"] = gh
     if "gt_angle" in result:
         out["gt_angle"] = np.float32(result["gt_angle"])
+    if "proposals" in result:
+        # Fast R-CNN external proposals (reference loading.py:586-625 +
+        # two_stage.py forward_train proposals kwarg), padded static
+        cap = int(result.get("_num_max_proposals", 2000))
+        props = np.asarray(result["proposals"], np.float32).reshape(-1, 4)
+        pp = np.zeros((cap, 4), np.float32)
+        pv = np.zeros((cap,), bool)
+        k = min(len(props), cap)
+        pp[:k] = props[:k]
+        pv[:k] = True
+        out["proposals"] = pp
+        out["proposals_valid"] = pv
     # dense per-pixel supervision maps ride along at image resolution
     # (already resized/padded to the image canvas by the pipeline)
     for key in ("gt_offset_field", "gt_edge_maps", "gt_side_face_maps"):

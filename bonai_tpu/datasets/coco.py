@@ -19,12 +19,22 @@ class CocoDataset:
 
     def __init__(self, ann_file, pipeline, img_prefix="", classes=None,
                  test_mode=False, filter_empty_gt=True, min_size=32,
-                 **kwargs):
+                 proposal_file=None, **kwargs):
         self.ann_file = ann_file
         self.img_prefix = img_prefix
         self.test_mode = test_mode
         self.filter_empty_gt = filter_empty_gt
         self.min_size = min_size
+        # precomputed proposals for Fast R-CNN-style training (reference
+        # custom.py:92-99 load_proposals + :181 results['proposals']):
+        # a pickled list of per-image (N, 4|5) arrays aligned with the
+        # annotation image order
+        self.proposal_file = proposal_file
+        self.proposals = None
+        if proposal_file is not None:
+            import pickle
+            with open(proposal_file, "rb") as f:
+                self.proposals = pickle.load(f)
         if classes is not None:
             self.CLASSES = classes
         self.coco = COCOIndex(ann_file)
@@ -43,6 +53,8 @@ class CocoDataset:
             valid = self._filter_imgs()
             self.data_infos = [self.data_infos[i] for i in valid]
             self.img_ids = [self.img_ids[i] for i in valid]
+            if self.proposals is not None:
+                self.proposals = [self.proposals[i] for i in valid]
         self.pipeline = build_pipeline(pipeline)
 
     def __len__(self):
@@ -142,6 +154,8 @@ class CocoDataset:
         ``custom.py:175-194``)."""
         img_info = self.data_infos[idx]
         results = dict(img_info=img_info, img_prefix=self.img_prefix)
+        if self.proposals is not None:
+            results["proposals"] = self.proposals[idx]
         self.pre_pipeline(results)
         if not self.test_mode:
             results["ann_info"] = self.get_ann_info(idx)

@@ -216,6 +216,32 @@ class LoadAnnotations:
 
 
 @PIPELINES.register_module()
+class LoadProposals:
+    """Precomputed-proposal loader for Fast R-CNN training (reference
+    ``loading.py:586-625``): trims ``results['proposals']`` (fed by the
+    dataset's ``proposal_file``) to ``num_max_proposals`` and drops a
+    score column; downstream Resize/Flip/Rotate transform the boxes
+    alongside ``gt_bboxes``."""
+
+    def __init__(self, num_max_proposals=None):
+        self.num_max_proposals = num_max_proposals
+
+    def __call__(self, results):
+        props = np.asarray(results.get("proposals",
+                                       np.zeros((0, 4))), np.float32)
+        if props.ndim != 2 or props.shape[1] not in (4, 5):
+            raise AssertionError(
+                f"proposals should be (N, 4|5), got {props.shape}")
+        props = props[:, :4]
+        if self.num_max_proposals is not None:
+            props = props[:self.num_max_proposals]
+        results["proposals"] = props
+        if self.num_max_proposals is not None:
+            results["_num_max_proposals"] = int(self.num_max_proposals)
+        return results
+
+
+@PIPELINES.register_module()
 class Resize:
     """Keep-ratio resize to fit ``img_scale`` (reference
     ``transforms.py:309-341``).  Instance offsets are deliberately NOT
@@ -268,7 +294,7 @@ class Resize:
         results["img_shape"] = (new_h, new_w)
         results["scale_factor"] = np.array(
             [w_scale, h_scale, w_scale, h_scale], np.float32)
-        for key in ("gt_bboxes", "gt_footprint_bboxes"):
+        for key in ("gt_bboxes", "gt_footprint_bboxes", "proposals"):
             if key in results and len(results[key]):
                 b = results[key] * results["scale_factor"]
                 b[:, 0::2] = b[:, 0::2].clip(0, new_w)
@@ -320,7 +346,7 @@ class RandomFlip:
             results["img"] = results["img"][:, ::-1]
         else:
             results["img"] = results["img"][::-1]
-        for key in ("gt_bboxes", "gt_footprint_bboxes"):
+        for key in ("gt_bboxes", "gt_footprint_bboxes", "proposals"):
             if key in results and len(results[key]):
                 b = results[key].copy()
                 if direction == "horizontal":
@@ -428,7 +454,7 @@ class RandomRotate:
             out[:, 1::2] = out[:, 1::2].clip(0, h)
             return out
 
-        for key in ("gt_bboxes", "gt_footprint_bboxes"):
+        for key in ("gt_bboxes", "gt_footprint_bboxes", "proposals"):
             if key in results:
                 results[key] = rot_boxes(results[key])
         if "gt_masks" in results:
@@ -476,7 +502,7 @@ class RandomRotate:
                 hh, ww = ww, hh
             return x, y
 
-        for key in ("gt_bboxes", "gt_footprint_bboxes"):
+        for key in ("gt_bboxes", "gt_footprint_bboxes", "proposals"):
             if key in results and len(results[key]):
                 b = results[key]
                 x1, y1 = rotate_xy(b[:, 0].copy(), b[:, 1].copy(), h, w)

@@ -8,6 +8,7 @@ raw config dicts (submodules are constructed inside ``setup``).
 from __future__ import annotations
 
 import copy
+import os
 
 from ..registry import Registry
 
@@ -43,6 +44,7 @@ def build_detector(cfg, train_cfg=None, test_cfg=None, compute_dtype=None,
                 "RepPointsDetector": RepPointsDetector, "SSD": SSD,
                 "DynamicRCNN": DynamicRCNN,
                 "CascadeRCNN": CascadeRCNN, "HTC": HTC,
+                "HybridTaskCascade": HTC,
                 "GridRCNN": GridRCNN, "PointRend": PointRend,
                 "CornerNet": CornerNet, "RPN": RPN, "FastRCNN": FastRCNN,
                 "NASFCOS": NASFCOS}
@@ -66,7 +68,10 @@ def build_detector(cfg, train_cfg=None, test_cfg=None, compute_dtype=None,
         kwargs["bbox_head"] = cfg.get("bbox_head")
     if compute_dtype is not None:
         kwargs["compute_dtype"] = compute_dtype
-    impl = roi_align_impl or cfg.get("roi_align_impl")
+    # BONAI_ROI_IMPL overrides the configured RoIAlign kernel for A/B
+    # benchmarking without touching config files (gather/pallas/block).
+    impl = (os.environ.get("BONAI_ROI_IMPL") or roi_align_impl
+            or cfg.get("roi_align_impl"))
     if impl is not None and det_type not in ("RetinaNet", "FCOS", "ATSS", "FSAF", "GFL",
                                      "FoveaBox", "FreeAnchor",
                                      "RepPointsDetector", "SSD"):

@@ -60,6 +60,59 @@ class RetinaHead(nn.Module):
         return cls_scores, bbox_preds
 
 
+class RetinaSepBNHead(nn.Module):
+    """RetinaNet head with conv weights SHARED across pyramid levels but
+    a SEPARATE BatchNorm per level (reference
+    ``mmdet/models/dense_heads/retina_sepbn_head.py``; the nas_fpn
+    crop640 configs).  BN runs frozen-eval like every BN in this
+    framework (batch stats are importable, not trained)."""
+
+    num_classes: int = 80
+    in_channels: int = 256
+    feat_channels: int = 256
+    stacked_convs: int = 4
+    num_anchors: int = 9
+    num_ins: int = 5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats):
+        from ..backbones.resnet import FrozenBatchNorm
+        init = nn.initializers.normal(0.01)
+        import math
+        bias_cls = nn.initializers.constant(-math.log((1 - 0.01) / 0.01))
+        cls_convs = [nn.Conv(self.feat_channels, (3, 3),
+                             padding=[(1, 1), (1, 1)], dtype=self.dtype,
+                             use_bias=False, kernel_init=init,
+                             name=f"cls_conv{i}")
+                     for i in range(self.stacked_convs)]
+        reg_convs = [nn.Conv(self.feat_channels, (3, 3),
+                             padding=[(1, 1), (1, 1)], dtype=self.dtype,
+                             use_bias=False, kernel_init=init,
+                             name=f"reg_conv{i}")
+                     for i in range(self.stacked_convs)]
+        cls_out = nn.Conv(self.num_anchors * self.num_classes, (3, 3),
+                          padding=[(1, 1), (1, 1)], dtype=self.dtype,
+                          kernel_init=init, bias_init=bias_cls,
+                          name="retina_cls")
+        reg_out = nn.Conv(self.num_anchors * 4, (3, 3),
+                          padding=[(1, 1), (1, 1)], dtype=self.dtype,
+                          kernel_init=init, name="retina_reg")
+        cls_scores, bbox_preds = [], []
+        for li, x in enumerate(feats):
+            c = r = x
+            for i in range(self.stacked_convs):
+                c = nn.relu(FrozenBatchNorm(
+                    dtype=self.dtype,
+                    name=f"cls_bn_l{li}_c{i}")(cls_convs[i](c)))
+                r = nn.relu(FrozenBatchNorm(
+                    dtype=self.dtype,
+                    name=f"reg_bn_l{li}_c{i}")(reg_convs[i](r)))
+            cls_scores.append(cls_out(c))
+            bbox_preds.append(reg_out(r))
+        return cls_scores, bbox_preds
+
+
 def retina_targets(anchors, gt_bboxes, gt_valid, gt_labels, num_classes,
                    assigner_cfg):
     """All-anchor targets (no sampling) for one image."""

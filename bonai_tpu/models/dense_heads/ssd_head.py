@@ -50,7 +50,7 @@ class SSDHead(nn.Module):
 
 
 def ssd_targets(anchors, gt_bboxes, gt_valid, gt_labels, num_classes,
-                assigner_cfg, target_stds):
+                assigner_cfg, target_stds, legacy=False):
     """One image: labels (bg = num_classes), deltas, weights."""
     assigned, _ = max_iou_assign(
         anchors, gt_bboxes, gt_valid,
@@ -63,7 +63,7 @@ def ssd_targets(anchors, gt_bboxes, gt_valid, gt_labels, num_classes,
     labels = jnp.where(is_pos, gt_labels[matched], num_classes)
     cls_w = (assigned >= 0).astype(jnp.float32)
     deltas = bbox2delta(anchors, gt_bboxes[matched],
-                        stds=target_stds)
+                        stds=target_stds, legacy=legacy)
     reg_w = is_pos.astype(jnp.float32)[:, None]
     return labels, cls_w, deltas * reg_w, \
         jnp.broadcast_to(reg_w, deltas.shape), is_pos, matched, \
@@ -72,7 +72,8 @@ def ssd_targets(anchors, gt_bboxes, gt_valid, gt_labels, num_classes,
 
 def ssd_loss(cls_scores, bbox_preds, anchors_flat, gt_bboxes, gt_valid,
              gt_labels, num_classes, train_cfg,
-             target_stds=(0.1, 0.1, 0.2, 0.2), pisa_cfg=None):
+             target_stds=(0.1, 0.1, 0.2, 0.2), pisa_cfg=None,
+             legacy=False):
     """Batched MultiBox loss (reference ``ssd_head.py:128-244``).
 
     ``pisa_cfg=dict(isr=..., carl=...)`` applies ISR-P cls re-weighting
@@ -88,7 +89,8 @@ def ssd_loss(cls_scores, bbox_preds, anchors_flat, gt_bboxes, gt_valid,
     labels, cls_w, bt, bw, is_pos, matched, gtb = jax.vmap(
         lambda gb, gv, gl: ssd_targets(
             anchors_flat, gb, gv, gl, num_classes,
-            dict(train_cfg.get("assigner", {})), target_stds))(
+            dict(train_cfg.get("assigner", {})), target_stds,
+            legacy))(
         gt_bboxes, gt_valid, gt_labels)
 
     npos = jnp.sum(is_pos, axis=1).astype(jnp.float32)     # (B,)
@@ -108,7 +110,7 @@ def ssd_loss(cls_scores, bbox_preds, anchors_flat, gt_bboxes, gt_valid,
         anc = jnp.broadcast_to(anchors_flat[None],
                                (b,) + anchors_flat.shape).reshape(-1, 4)
         dec = delta2bbox(anc, reg_flat.reshape(-1, 4), (0.,) * 4,
-                         tuple(target_stds))
+                         tuple(target_stds), legacy=legacy)
         gtb_f = gtb.reshape(-1, 4)
         ix1 = jnp.maximum(dec[:, 0], gtb_f[:, 0])
         iy1 = jnp.maximum(dec[:, 1], gtb_f[:, 1])
@@ -161,7 +163,8 @@ def ssd_loss(cls_scores, bbox_preds, anchors_flat, gt_bboxes, gt_valid,
 
 
 def ssd_bboxes_single(cls_scores, bbox_preds, anchors_levels, img_shape,
-                      num_classes, cfg, target_stds=(0.1, 0.1, 0.2, 0.2)):
+                      num_classes, cfg, target_stds=(0.1, 0.1, 0.2, 0.2),
+                      legacy=False):
     """Single-image decode: softmax scores (bg last) -> multiclass NMS
     (reference ``anchor_head.py:get_bboxes`` with ``use_sigmoid=False``)."""
     nms_pre = cfg.get("nms_pre", 1000)
@@ -177,7 +180,8 @@ def ssd_bboxes_single(cls_scores, bbox_preds, anchors_levels, img_shape,
             _, idx = jax.lax.top_k(best, nms_pre)
             s, d, a = s[idx], d[idx], anchors[idx]
         boxes = clip_boxes(delta2bbox(a, d, means=(0.,) * 4,
-                                      stds=target_stds), img_shape)
+                                      stds=target_stds, legacy=legacy),
+                           img_shape)
         boxes_all.append(boxes)
         scores_all.append(s)
     boxes = jnp.concatenate(boxes_all, axis=0)

@@ -10,7 +10,41 @@ widths, RegNet archs, DCN stages, GCB/attention plugins, norm_cfg/conv_cfg
 
 from __future__ import annotations
 
+from typing import Any, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
 from ..backbones.resnet import ResNet
+
+
+class ChainedNeck(nn.Module):
+    """Sequential neck chain, e.g. ``[FPN, BFP]`` (reference libra_rcnn
+    configs; ``mmdet/models/detectors/single_stage.py:32`` builds a
+    plain ``nn.Sequential`` for list necks)."""
+
+    cfgs: Tuple[Any, ...]
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        mods = [build_neck_m(self.cfgs[0], self.dtype, name="neck0")]
+        for j, ecfg in enumerate(self.cfgs[1:]):
+            ecfg = dict(ecfg)
+            etype = ecfg.pop("type", "BFP")
+            assert etype == "BFP", f"unsupported chained neck {etype}"
+            from ..necks.bfp import BFP
+            mods.append(BFP(
+                in_channels=ecfg.get("in_channels", 256),
+                num_levels=ecfg.get("num_levels", 5),
+                refine_level=ecfg.get("refine_level", 2),
+                refine_type=ecfg.get("refine_type"),
+                dtype=self.dtype, name=f"neck{j + 1}"))
+        self.mods = tuple(mods)
+
+    def __call__(self, feats):
+        for m in self.mods:
+            feats = m(feats)
+        return feats
 
 
 def build_backbone_m(cfg, dt, name="backbone"):
@@ -85,7 +119,11 @@ def _extra_convs_mode(nk):
 
 def build_neck_m(cfg, dt, name="neck"):
     """Construct the flax neck module named ``name`` from a reference
-    neck cfg dict."""
+    neck cfg dict.  A LIST cfg chains necks (reference libra configs:
+    ``neck=[FPN, BFP]``) into one module applied sequentially."""
+    if isinstance(cfg, (list, tuple)):
+        return ChainedNeck(cfgs=tuple(dict(c) for c in cfg), dtype=dt,
+                           name=name)
     nk = dict(cfg)
     nk_type = nk.pop("type", "FPN")
     if nk_type == "HRFPN":
@@ -151,6 +189,7 @@ def build_neck_m(cfg, dt, name="neck"):
         extra_convs_on=extra_on,
         relu_before_extra_convs=bool(nk.get("relu_before_extra_convs",
                                             False)),
+        no_norm_on_lateral=bool(nk.get("no_norm_on_lateral", False)),
         norm_cfg=nk.get("norm_cfg"),
         conv_cfg=nk.get("conv_cfg"),
         dtype=dt, name=name)

@@ -59,8 +59,12 @@ class HTC(CascadeRCNN):
                 conv_out_channels=sem.get("conv_out_channels", 256),
                 num_classes=sem.get("num_classes", 183),
                 dtype=dt, name="semantic_head")
-            self.semantic_loss_weight = sem.get("loss_seg",
-                                                {}).get("loss_weight", 0.2)
+            # reference htc configs pass a flat ``loss_weight``
+            # (htc_r50_fpn_1x_coco.py); the bonai ones nest it under
+            # ``loss_seg`` — accept both
+            self.semantic_loss_weight = dict(
+                sem.get("loss_seg") or {}).get(
+                "loss_weight", sem.get("loss_weight", 0.2))
             self.semantic_stride = int(dict(cfg.get(
                 "semantic_roi_extractor",
                 {"featmap_strides": [8]}))["featmap_strides"][0])

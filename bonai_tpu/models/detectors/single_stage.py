@@ -76,13 +76,26 @@ class RetinaNet(nn.Module):
         else:
             self.anchor_generator = AnchorGenerator(**ag)
         self.num_classes = bh.get("num_classes", 80)
-        self.head_m = RetinaHead(
-            num_classes=self.num_classes,
-            in_channels=bh.get("in_channels", 256),
-            feat_channels=bh.get("feat_channels", 256),
-            stacked_convs=bh.get("stacked_convs", 4),
-            num_anchors=self.anchor_generator.num_base_anchors[0],
-            dtype=dt, name="bbox_head")
+        if bh.get("type") == "RetinaSepBNHead":
+            # nas_fpn crop640 configs (reference retina_sepbn_head.py):
+            # shared convs, per-level BN
+            from ..dense_heads.retina_head import RetinaSepBNHead
+            self.head_m = RetinaSepBNHead(
+                num_classes=self.num_classes,
+                in_channels=bh.get("in_channels", 256),
+                feat_channels=bh.get("feat_channels", 256),
+                stacked_convs=bh.get("stacked_convs", 4),
+                num_anchors=self.anchor_generator.num_base_anchors[0],
+                num_ins=bh.get("num_ins", 5),
+                dtype=dt, name="bbox_head")
+        else:
+            self.head_m = RetinaHead(
+                num_classes=self.num_classes,
+                in_channels=bh.get("in_channels", 256),
+                feat_channels=bh.get("feat_channels", 256),
+                stacked_convs=bh.get("stacked_convs", 4),
+                num_anchors=self.anchor_generator.num_base_anchors[0],
+                dtype=dt, name="bbox_head")
         lc = dict(bh.get("loss_cls", {}))
         self.focal_gamma = lc.get("gamma", 2.0)
         self.focal_alpha = lc.get("alpha", 0.25)
@@ -200,7 +213,8 @@ class FCOS(nn.Module):
         dt = _dtype(self.compute_dtype)
         self.backbone_m = build_backbone_m(self.backbone, dt)
         self.neck_m = build_neck_m(self.neck, dt)
-        nk = dict(self.neck)
+        nk = dict(self.neck[0] if isinstance(self.neck, (list, tuple))
+                  else self.neck)
         bh = dict(self.bbox_head)
         self.num_classes = bh.get("num_classes", 80)
         self.strides = tuple(bh.get("strides", (8, 16, 32, 64, 128)))
@@ -304,7 +318,8 @@ class ATSS(nn.Module):
         from .builders import build_backbone_m, build_neck_m
         self.backbone_m = build_backbone_m(self.backbone, dt)
         self.neck_m = build_neck_m(self.neck, dt)
-        nk = dict(self.neck)
+        nk = dict(self.neck[0] if isinstance(self.neck, (list, tuple))
+                  else self.neck)
         bh = dict(self.bbox_head)
         ag = dict(bh.get("anchor_generator", dict(
             ratios=[1.0], octave_base_scale=8, scales_per_octave=1,
@@ -392,7 +407,8 @@ class FSAF(nn.Module):
         from .builders import build_backbone_m, build_neck_m
         self.backbone_m = build_backbone_m(self.backbone, dt)
         self.neck_m = build_neck_m(self.neck, dt)
-        nk = dict(self.neck)
+        nk = dict(self.neck[0] if isinstance(self.neck, (list, tuple))
+                  else self.neck)
         bh = dict(self.bbox_head)
         self.num_classes = bh.get("num_classes", 80)
         self.strides = tuple(bh.get("strides", (8, 16, 32, 64, 128)))
@@ -456,7 +472,8 @@ class GFL(nn.Module):
         from .builders import build_backbone_m, build_neck_m
         self.backbone_m = build_backbone_m(self.backbone, dt)
         self.neck_m = build_neck_m(self.neck, dt)
-        nk = dict(self.neck)
+        nk = dict(self.neck[0] if isinstance(self.neck, (list, tuple))
+                  else self.neck)
         bh = dict(self.bbox_head)
         ag = dict(bh.get("anchor_generator", dict(
             ratios=[1.0], octave_base_scale=8, scales_per_octave=1,
@@ -548,7 +565,8 @@ class FoveaBox(nn.Module):
         from .builders import build_backbone_m, build_neck_m
         self.backbone_m = build_backbone_m(self.backbone, dt)
         self.neck_m = build_neck_m(self.neck, dt)
-        nk = dict(self.neck)
+        nk = dict(self.neck[0] if isinstance(self.neck, (list, tuple))
+                  else self.neck)
         bh = dict(self.bbox_head)
         self.num_classes = bh.get("num_classes", 80)
         self.strides = tuple(bh.get("strides", (8, 16, 32, 64, 128)))
@@ -626,7 +644,8 @@ class FreeAnchor(nn.Module):
         from .builders import build_backbone_m, build_neck_m
         self.backbone_m = build_backbone_m(self.backbone, dt)
         self.neck_m = build_neck_m(self.neck, dt)
-        nk = dict(self.neck)
+        nk = dict(self.neck[0] if isinstance(self.neck, (list, tuple))
+                  else self.neck)
         bh = dict(self.bbox_head)
         ag = dict(bh.get("anchor_generator", dict(
             octave_base_scale=4, scales_per_octave=3,
@@ -726,9 +745,14 @@ class SSD(nn.Module):
             strides=[8, 16, 32, 64, 100, 300],
             ratios=[[2], [2, 3], [2, 3], [2, 3], [2], [2]],
             basesize_ratio_range=(0.15, 0.9), input_size=300)))
-        ag.pop("type", None)
+        ag_type = ag.pop("type", "SSDAnchorGenerator")
         ag.setdefault("input_size", self.input_size)
-        self.anchor_generator = SSDAnchorGenerator(**ag)
+        if ag_type == "LegacySSDAnchorGenerator":
+            # legacy_1.x ssd300_coco_v1 (reference anchor_generator.py:563)
+            from ...core.anchors import LegacySSDAnchorGenerator
+            self.anchor_generator = LegacySSDAnchorGenerator(**ag)
+        else:
+            self.anchor_generator = SSDAnchorGenerator(**ag)
         from ..dense_heads.ssd_head import SSDHead
         self.head_m = SSDHead(
             num_classes=self.num_classes,
@@ -739,6 +763,8 @@ class SSD(nn.Module):
         bc = dict(bh.get("bbox_coder", {}))
         self.target_stds = tuple(bc.get("target_stds",
                                         (0.1, 0.1, 0.2, 0.2)))
+        # v1.x +1 size convention (legacy_1.x ssd300_coco_v1)
+        self.legacy_coder = bc.get("type") == "LegacyDeltaXYWHBBoxCoder"
 
     def extract_feat(self, img):
         return self.backbone_m(img)
@@ -761,7 +787,8 @@ class SSD(nn.Module):
         return ssd_loss(cls_scores, bbox_preds, anchors_flat,
                         batch["gt_bboxes"], batch["gt_valid"],
                         batch["gt_labels"], self.num_classes,
-                        tc, target_stds=self.target_stds, pisa_cfg=pisa)
+                        tc, target_stds=self.target_stds, pisa_cfg=pisa,
+                        legacy=self.legacy_coder)
 
     def simple_test(self, img, img_shape, scale_factor):
         from ..dense_heads.ssd_head import ssd_bboxes_single
@@ -772,7 +799,7 @@ class SSD(nn.Module):
         det_boxes, det_scores, det_labels, det_valid = jax.vmap(
             lambda cs, bp, ishape: ssd_bboxes_single(
                 cs, bp, anchors, ishape, self.num_classes, cfg,
-                target_stds=self.target_stds)
+                target_stds=self.target_stds, legacy=self.legacy_coder)
         )([s for s in cls_scores], [b for b in bbox_preds], img_shape)
         return {"det_bboxes": det_boxes / jnp.asarray(
                     scale_factor)[:, None, None],
@@ -797,7 +824,8 @@ class RepPointsDetector(nn.Module):
         from .builders import build_backbone_m, build_neck_m
         self.backbone_m = build_backbone_m(self.backbone, dt)
         self.neck_m = build_neck_m(self.neck, dt)
-        nk = dict(self.neck)
+        nk = dict(self.neck[0] if isinstance(self.neck, (list, tuple))
+                  else self.neck)
         bh = dict(self.bbox_head)
         self.num_classes = bh.get("num_classes", 80)
         self.num_points = bh.get("num_points", 9)
@@ -1068,13 +1096,27 @@ class NASFCOS(FCOS):
             tuple(r) for r in bh.get("regress_ranges",
                                      ((-1, 64), (64, 128), (128, 256),
                                       (256, 512), (512, INF_RANGE))))
-        self.head_m = NASFCOSHead(
-            num_classes=self.num_classes,
-            in_channels=bh.get("in_channels", 256),
-            feat_channels=bh.get("feat_channels", 256),
-            num_levels=nk.get("num_outs", 5),
-            centerness_on_reg=bh.get("centerness_on_reg", False),
-            dtype=dt, name="bbox_head")
+        if bh.get("type") == "FCOSHead":
+            # nas_fcos_fcoshead_* configs: searched FPN + the standard
+            # FCOS conv towers (reference configs/nas_fcos/
+            # nas_fcos_fcoshead_r50_caffe_fpn_gn-head_4x4_1x_coco.py)
+            from ..dense_heads.fcos_head import FCOSHead
+            self.head_m = FCOSHead(
+                num_classes=self.num_classes,
+                in_channels=bh.get("in_channels", 256),
+                feat_channels=bh.get("feat_channels", 256),
+                stacked_convs=bh.get("stacked_convs", 4),
+                num_levels=nk.get("num_outs", 5),
+                centerness_on_reg=bh.get("centerness_on_reg", False),
+                dtype=dt, name="bbox_head")
+        else:
+            self.head_m = NASFCOSHead(
+                num_classes=self.num_classes,
+                in_channels=bh.get("in_channels", 256),
+                feat_channels=bh.get("feat_channels", 256),
+                num_levels=nk.get("num_outs", 5),
+                centerness_on_reg=bh.get("centerness_on_reg", False),
+                dtype=dt, name="bbox_head")
         lc = dict(bh.get("loss_cls", {}))
         self.focal_gamma = lc.get("gamma", 2.0)
         self.focal_alpha = lc.get("alpha", 0.25)

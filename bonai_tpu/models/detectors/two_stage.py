@@ -121,6 +121,13 @@ def assign_and_sample_rcnn(rng, proposals, proposal_valid, gt_bboxes,
         from ...core.samplers import instance_balanced_pos_sample
         res = instance_balanced_pos_sample(rng, assigned, num, pos_fraction,
                                            neg_pos_ub=neg_pos_ub)
+    elif stype == "CombinedSampler":
+        # reference combined_sampler.py + libra_rcnn COCO configs
+        from ...core.samplers import combined_sample
+        res = combined_sample(rng, assigned, max_ov, num, pos_fraction,
+                              pos_cfg=sampler_cfg.get("pos_sampler"),
+                              neg_cfg=sampler_cfg.get("neg_sampler"),
+                              neg_pos_ub=neg_pos_ub)
     else:
         res = random_sample(rng, assigned, num=num,
                             pos_fraction=pos_fraction,
@@ -187,7 +194,11 @@ class TwoStageDetector(nn.Module):
             self.neck_extra_ms = ()
         if self.neck is not None:
             self.neck_m = build_neck_m(nk, dt)
-        rh = dict(self.rpn_head)
+        # Fast R-CNN (reference fast_rcnn.py / _base_/models/
+        # fast_rcnn_r50_fpn.py) ships no RPN at all — proposals are
+        # external inputs
+        rh = dict(self.rpn_head or {})
+        self.has_rpn = self.rpn_head is not None
         # SemiRPNHead (reference mmdet/models/dense_heads/semi_rpn_head.py):
         # footprint-only images supervise the RPN with footprint boxes
         self.semi_rpn = rh.get("type", "RPNHead") == "SemiRPNHead"
@@ -208,6 +219,9 @@ class TwoStageDetector(nn.Module):
                 in_channels=rh.get("in_channels", 256),
                 feat_channels=rh.get("feat_channels", 256),
                 dtype=dt, name="rpn_head")
+            self.anchor_generator = None
+        elif not self.has_rpn:
+            self.rpn_head_m = None
             self.anchor_generator = None
         else:
             ag_cfg = dict(rh.get("anchor_generator", {}))
@@ -441,9 +455,11 @@ class TwoStageDetector(nn.Module):
                 post=getattr(self, post_attr) if post_attr else None)
         # default = gather: the blocked variant's forward is faster but its
         # backward block-scatter serializes (~23GB/s) and loses end-to-end;
-        # 'pallas' selects the fused fwd+bwd kernel (pallas_roi_align_fused)
+        # 'pallas' selects the fused strip kernel (pallas_roi_align_fused);
+        # 'block' the one-rectangular-DMA-per-RoI successor
+        # (pallas_roi_align_block) — fastest fwd AND bwd on hardware
         impl = extractor_cfg.get("impl", self.roi_align_impl or "gather")
-        if impl == "pallas":
+        if impl in ("pallas", "block"):
             d = jax.devices()[0]
             if not ("TPU" in getattr(d, "device_kind", "")
                     or d.platform in ("tpu", "axon")):
@@ -458,6 +474,9 @@ class TwoStageDetector(nn.Module):
                 pallas_multilevel_roi_align)
             fn = pallas_multilevel_roi_align
             extra["backward"] = extractor_cfg.get("roi_backward", "rmw")
+        elif impl == "block":
+            from ...ops.pallas_roi_align_block import pallas_block_roi_align
+            fn = pallas_block_roi_align
         else:
             fn = multilevel_roi_align
         return fn(
@@ -527,7 +546,8 @@ class TwoStageDetector(nn.Module):
         """forward_dummy: touches every parameterised submodule once so
         ``init`` creates the full tree (reference ``two_stage.py:87-103``)."""
         feats = self.extract_feat(img)
-        outs = self.rpn_head_m(feats)
+        outs = (self.rpn_head_m(feats) if self.rpn_head_m is not None
+                else None)                   # Fast R-CNN: no RPN
         if self.bbox_head_m is None:         # RPN-only detector
             return outs
         rois = jnp.tile(jnp.asarray([[0., 0., 0., 32., 32.]]), (4, 1))

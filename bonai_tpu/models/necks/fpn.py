@@ -57,6 +57,8 @@ class FPN(nn.Module):
     # 'output' (fcos-style 'on_output'), or 'lateral'
     extra_convs_on: str = "input"
     relu_before_extra_convs: bool = False
+    # nas_fpn crop640 configs: norm everywhere except the 1x1 laterals
+    no_norm_on_lateral: bool = False
     norm_cfg: Any = None
     conv_cfg: Any = None
     dtype: Any = jnp.float32
@@ -66,14 +68,16 @@ class FPN(nn.Module):
         assert len(inputs) == len(self.in_channels)
         used = len(self.in_channels) - self.start_level
 
-        def cm(x, features, kernel, name, stride=1):
+        def cm(x, features, kernel, name, stride=1, no_norm=False):
             return conv_module(x, features, kernel, name, self.dtype,
-                               stride=stride, norm_cfg=self.norm_cfg,
+                               stride=stride,
+                               norm_cfg=(None if no_norm
+                                         else self.norm_cfg),
                                conv_cfg=self.conv_cfg)
 
         laterals = [
             cm(inputs[self.start_level + i], self.out_channels, 1,
-               f"lateral_{i}")
+               f"lateral_{i}", no_norm=self.no_norm_on_lateral)
             for i in range(used)
         ]
         for i in range(used - 1, 0, -1):

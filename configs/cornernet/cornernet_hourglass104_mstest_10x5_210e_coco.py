@@ -1,0 +1,4 @@
+# (reference: configs/cornernet/
+#  cornernet_hourglass104_mstest_10x5_210e_coco.py — 10 GPUs x 5 imgs)
+_base_ = './cornernet_hourglass104_mstest_8x6_210e_coco.py'
+data = dict(samples_per_gpu=5, workers_per_gpu=3)

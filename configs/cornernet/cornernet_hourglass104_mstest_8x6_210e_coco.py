@@ -1,0 +1,49 @@
+# (reference: configs/cornernet/cornernet_hourglass104_mstest_8x6_210e_coco.py)
+_base_ = ['../_base_/default_runtime.py',
+          '../_base_/datasets/coco_detection.py']
+model = dict(
+    type='CornerNet',
+    backbone=dict(
+        type='HourglassNet', downsample_times=5, num_stacks=2,
+        stage_channels=[256, 256, 384, 384, 384, 512],
+        stage_blocks=[2, 2, 2, 2, 2, 4], feat_channel=256,
+        input_size=256,      # build-sweep trace size (multiple of 128)
+        norm_cfg=dict(type='BN', requires_grad=True)),
+    neck=None,
+    bbox_head=dict(
+        type='CornerHead', num_classes=80, in_channels=256,
+        num_feat_levels=2, corner_emb_channels=1,
+        loss_heatmap=dict(type='GaussianFocalLoss', alpha=2.0,
+                          gamma=4.0, loss_weight=1),
+        loss_embedding=dict(type='AssociativeEmbeddingLoss',
+                            pull_weight=0.25, push_weight=0.25),
+        loss_offset=dict(type='SmoothL1Loss', beta=1.0, loss_weight=1)))
+train_cfg = None
+test_cfg = dict(corner_topk=100, num_dets=1000, max_per_img=100,
+                distance_threshold=0.5,
+                nms=dict(type='soft_nms', iou_threshold=0.5,
+                         method='gaussian'))
+img_norm_cfg = dict(mean=[123.675, 116.28, 103.53],
+                    std=[58.395, 57.12, 57.375], to_rgb=True)
+data = dict(
+    samples_per_gpu=6, workers_per_gpu=3,
+    train=dict(pipeline=[
+        dict(type='LoadImageFromFile', to_float32=True),
+        dict(type='LoadAnnotations', with_bbox=True),
+        dict(type='PhotoMetricDistortion', brightness_delta=32,
+             contrast_range=(0.5, 1.5), saturation_range=(0.5, 1.5),
+             hue_delta=18),
+        dict(type='RandomCenterCropPad', crop_size=(511, 511),
+             ratios=(0.6, 0.7, 0.8, 0.9, 1.0, 1.1, 1.2, 1.3),
+             test_mode=False, test_pad_mode=None, **img_norm_cfg),
+        dict(type='Resize', img_scale=(511, 511), keep_ratio=False),
+        dict(type='RandomFlip', flip_ratio=0.5),
+        dict(type='Normalize', **img_norm_cfg),
+        dict(type='DefaultFormatBundle'),
+        dict(type='Collect', keys=['img', 'gt_bboxes', 'gt_labels']),
+    ]))
+optimizer = dict(type='Adam', lr=0.0005)
+optimizer_config = dict(grad_clip=dict(max_norm=35, norm_type=2))
+lr_config = dict(policy='step', warmup='linear', warmup_iters=500,
+                 warmup_ratio=1.0 / 3, step=[180])
+total_epochs = 210

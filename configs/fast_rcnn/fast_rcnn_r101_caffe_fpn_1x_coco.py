@@ -1,0 +1,5 @@
+# (reference: configs/fast_rcnn/fast_rcnn_r101_caffe_fpn_1x_coco.py)
+_base_ = './fast_rcnn_r50_caffe_fpn_1x_coco.py'
+model = dict(
+    pretrained='open-mmlab://detectron2/resnet101_caffe',
+    backbone=dict(depth=101))

@@ -1,0 +1,4 @@
+# (reference: configs/fp16/retinanet_r50_fpn_fp16_1x_coco.py)
+_base_ = '../retinanet/retinanet_r50_fpn_1x_coco.py'
+compute_dtype = 'bfloat16'
+fp16 = dict(loss_scale=512.)

@@ -1,0 +1,19 @@
+# (reference: configs/legacy_1.x/retinanet_r50_caffe_fpn_1x_coco_v1.py)
+_base_ = './retinanet_r50_fpn_1x_coco_v1.py'
+model = dict(
+    pretrained='open-mmlab://detectron/resnet50_caffe',
+    backbone=dict(norm_cfg=dict(requires_grad=False),
+                  norm_eval=True, style='caffe'))
+img_norm_cfg = dict(mean=[102.9801, 115.9465, 122.7717],
+                    std=[1.0, 1.0, 1.0], to_rgb=False)
+data = dict(
+    train=dict(pipeline=[
+        dict(type='LoadImageFromFile'),
+        dict(type='LoadAnnotations', with_bbox=True),
+        dict(type='Resize', img_scale=(1333, 800), keep_ratio=True),
+        dict(type='RandomFlip', flip_ratio=0.5),
+        dict(type='Normalize', **img_norm_cfg),
+        dict(type='Pad', size_divisor=32),
+        dict(type='DefaultFormatBundle'),
+        dict(type='Collect', keys=['img', 'gt_bboxes', 'gt_labels']),
+    ]))

@@ -1,0 +1,34 @@
+# (reference: configs/mask_rcnn/mask_rcnn_r50_caffe_fpn_poly_1x_coco_v1.py)
+# Legacy v1.x head hyperparameters: SmoothL1 losses + unaligned RoIAlign.
+_base_ = './mask_rcnn_r50_fpn_1x_coco.py'
+model = dict(
+    pretrained='open-mmlab://resnet50_caffe_bgr',
+    backbone=dict(norm_cfg=dict(requires_grad=False), style='caffe'),
+    rpn_head=dict(
+        loss_bbox=dict(type='SmoothL1Loss', beta=1.0 / 9.0,
+                       loss_weight=1.0)),
+    roi_head=dict(
+        bbox_roi_extractor=dict(
+            roi_layer=dict(type='RoIAlign', output_size=7,
+                           sampling_ratio=2, aligned=False)),
+        bbox_head=dict(
+            loss_bbox=dict(type='SmoothL1Loss', beta=1.0,
+                           loss_weight=1.0)),
+        mask_roi_extractor=dict(
+            roi_layer=dict(type='RoIAlign', output_size=14,
+                           sampling_ratio=2, aligned=False))))
+img_norm_cfg = dict(mean=[103.530, 116.280, 123.675],
+                    std=[1.0, 1.0, 1.0], to_rgb=False)
+data = dict(
+    train=dict(pipeline=[
+        dict(type='LoadImageFromFile'),
+        dict(type='LoadAnnotations', with_bbox=True, with_mask=True,
+             poly2mask=False),
+        dict(type='Resize', img_scale=(1333, 800), keep_ratio=True),
+        dict(type='RandomFlip', flip_ratio=0.5),
+        dict(type='Normalize', **img_norm_cfg),
+        dict(type='Pad', size_divisor=32),
+        dict(type='DefaultFormatBundle'),
+        dict(type='Collect',
+             keys=['img', 'gt_bboxes', 'gt_labels', 'gt_masks']),
+    ]))

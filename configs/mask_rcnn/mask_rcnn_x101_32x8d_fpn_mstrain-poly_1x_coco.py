@@ -1,0 +1,28 @@
+# (reference: configs/mask_rcnn/mask_rcnn_x101_32x8d_fpn_mstrain-poly_1x_coco.py)
+_base_ = './mask_rcnn_r101_fpn_1x_coco.py'
+model = dict(
+    pretrained='open-mmlab://detectron2/resnext101_32x8d',
+    backbone=dict(type='ResNeXt', depth=101, groups=32, base_width=8,
+                  num_stages=4, out_indices=(0, 1, 2, 3), frozen_stages=1,
+                  norm_cfg=dict(type='BN', requires_grad=False),
+                  style='pytorch'))
+img_norm_cfg = dict(mean=[103.530, 116.280, 123.675],
+                    std=[57.375, 57.120, 58.395], to_rgb=False)
+data = dict(
+    train=dict(pipeline=[
+        dict(type='LoadImageFromFile'),
+        dict(type='LoadAnnotations', with_bbox=True, with_mask=True,
+             poly2mask=False),
+        dict(type='Resize',
+             img_scale=[(1333, 640), (1333, 672), (1333, 704), (1333, 736),
+                        (1333, 768), (1333, 800)],
+             multiscale_mode='value', keep_ratio=True),
+        dict(type='RandomFlip', flip_ratio=0.5),
+        dict(type='Normalize', **img_norm_cfg),
+        dict(type='Pad', size_divisor=32),
+        dict(type='DefaultFormatBundle'),
+        dict(type='Collect',
+             keys=['img', 'gt_bboxes', 'gt_labels', 'gt_masks']),
+    ]))
+lr_config = dict(step=[8, 11])
+total_epochs = 12

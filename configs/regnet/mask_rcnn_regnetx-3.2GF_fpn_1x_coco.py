@@ -1,0 +1,28 @@
+# (reference: configs/regnet/mask_rcnn_regnetx-3.2GF_fpn_1x_coco.py)
+_base_ = ['../_base_/models/mask_rcnn_r50_fpn.py',
+          '../_base_/datasets/coco_instance.py',
+          '../_base_/schedules/schedule_1x.py',
+          '../_base_/default_runtime.py']
+model = dict(
+    pretrained='open-mmlab://regnetx_3.2gf',
+    backbone=dict(
+        _delete_=True, type='RegNet', arch='regnetx_3.2gf',
+        out_indices=(0, 1, 2, 3), frozen_stages=1,
+        norm_cfg=dict(type='BN', requires_grad=True),
+        norm_eval=True, style='pytorch'),
+    neck=dict(type='FPN', in_channels=[96, 192, 432, 1008],
+              out_channels=256, num_outs=5))
+img_norm_cfg = dict(mean=[103.53, 116.28, 123.675],
+                    std=[57.375, 57.12, 58.395], to_rgb=False)
+data = dict(
+    train=dict(pipeline=[
+        dict(type='LoadImageFromFile'),
+        dict(type='LoadAnnotations', with_bbox=True, with_mask=True),
+        dict(type='Resize', img_scale=(1333, 800), keep_ratio=True),
+        dict(type='RandomFlip', flip_ratio=0.5),
+        dict(type='Normalize', **img_norm_cfg),
+        dict(type='Pad', size_divisor=32),
+        dict(type='DefaultFormatBundle'),
+        dict(type='Collect',
+             keys=['img', 'gt_bboxes', 'gt_labels', 'gt_masks']),
+    ]))
