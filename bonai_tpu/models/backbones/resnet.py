@@ -580,3 +580,35 @@ class RegNet(nn.Module):
             if stage in self.out_indices:
                 outs.append(x)
         return tuple(outs)
+
+
+class ResLayerSharedHead(nn.Module):
+    """C4 shared RoI head: one ResNet stage (res5) applied to RoI
+    features (reference ``mmdet/models/roi_heads/shared_heads/
+    res_layer.py`` + ``configs/_base_/models/mask_rcnn_r50_caffe_c4.py``
+    ``shared_head=dict(type='ResLayer', stage=3, stride=2)``).
+    (R, 14, 14, 1024) RoI features -> (R, 7, 7, 2048)."""
+
+    depth: int = 50
+    stage: int = 3
+    stride: int = 2
+    dilation: int = 1
+    style: str = "caffe"
+    norm_cfg: Any = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        block_name, stage_blocks = ARCH_SETTINGS[self.depth]
+        assert block_name == "bottleneck", \
+            "ResLayer shared head needs a bottleneck depth (50/101/152)"
+        planes = 64 * 2 ** self.stage
+        in_ch = x.shape[-1]
+        for b in range(stage_blocks[self.stage]):
+            ds = b == 0 and (self.stride != 1 or in_ch != planes * 4)
+            x = Bottleneck(planes=planes,
+                           stride=self.stride if b == 0 else 1,
+                           downsample=ds, style=self.style,
+                           norm_cfg=self.norm_cfg, dtype=self.dtype,
+                           name=f"layer{self.stage + 1}_{b}")(x)
+        return x

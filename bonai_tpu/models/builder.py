@@ -37,6 +37,10 @@ def build_detector(cfg, train_cfg=None, test_cfg=None, compute_dtype=None,
     from .detectors.htc import HTC
     from .detectors.point_rend import PointRend
     registry = {"FasterRCNN": FasterRCNN, "MaskRCNN": MaskRCNN,
+                # Mask Scoring R-CNN is MaskRCNN + a mask_iou_head in the
+                # roi_head cfg (reference mask_scoring_rcnn.py is an
+                # empty TwoStageDetector subclass)
+                "MaskScoringRCNN": MaskRCNN,
                 "LOFT": LOFT, "TwoStageDetector": TwoStageDetector,
                 "RetinaNet": RetinaNet, "FCOS": FCOS, "ATSS": ATSS,
                 "FSAF": FSAF, "GFL": GFL, "FOVEA": FoveaBox,

@@ -59,6 +59,7 @@ class CascadeRCNN(TwoStageDetector):
         else:
             self.mask_head_m = None
         self.mask_iou_head_m = None
+        self.shared_head_m = None   # C4 shared head: StandardRoIHead only
 
     def __call__(self, img):
         feats = self.extract_feat(img)

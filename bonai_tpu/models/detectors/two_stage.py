@@ -247,6 +247,7 @@ class TwoStageDetector(nn.Module):
             self.bbox_head_m = None
             self.mask_head_m = None
             self.mask_iou_head_m = None
+            self.shared_head_m = None
             self.double_head = False
             self.bbox_with_reg = True
         else:
@@ -273,9 +274,12 @@ class TwoStageDetector(nn.Module):
         else:
             btype = bh.get("type", "Shared2FCBBoxHead")
             # Shared4Conv1FCBBoxHead (reference convfc_bbox_head.py:194-211,
-            # the gn / gn+ws families): 4 shared convs + 1 shared fc
+            # the gn / gn+ws families): 4 shared convs + 1 shared fc;
+            # plain BBoxHead (C4 configs): no convs/fcs, avg-pool + linear
             if btype == "Shared4Conv1FCBBoxHead":
                 shared_convs, shared_fcs = 4, 1
+            elif btype == "BBoxHead":
+                shared_convs, shared_fcs = 0, 0
             else:
                 shared_convs = bh.get("num_shared_convs", 0)
                 shared_fcs = bh.get("num_shared_fcs", 2)
@@ -289,6 +293,7 @@ class TwoStageDetector(nn.Module):
                 num_shared_convs=shared_convs,
                 num_shared_fcs=shared_fcs,
                 conv_out_channels=bh.get("conv_out_channels", 256),
+                with_avg_pool=bh.get("with_avg_pool", False),
                 norm_cfg=bh.get("norm_cfg"),
                 conv_cfg=bh.get("conv_cfg"),
                 dtype=dt, name="bbox_head")
@@ -305,6 +310,22 @@ class TwoStageDetector(nn.Module):
             "bbox_coder", dict(target_means=[0.] * 4, target_stds=[1.] * 4))
         self.bbox_extractor_cfg = self._setup_extractor(
             dict(cfg["bbox_roi_extractor"]), "bbox", dt)
+        sh = cfg.get("shared_head")
+        if sh is not None:
+            # C4 shared res5 head (reference shared_heads/res_layer.py)
+            from ..backbones.resnet import ResLayerSharedHead
+            sh = dict(sh)
+            assert sh.get("type", "ResLayer") == "ResLayer"
+            self.shared_head_m = ResLayerSharedHead(
+                depth=sh.get("depth", 50),
+                stage=sh.get("stage", 3),
+                stride=sh.get("stride", 2),
+                dilation=sh.get("dilation", 1),
+                style=sh.get("style", "caffe"),
+                norm_cfg=sh.get("norm_cfg"),
+                dtype=dt, name="shared_head")
+        else:
+            self.shared_head_m = None
         if cfg.get("mask_head") is not None:
             mh = dict(cfg["mask_head"])
             if mh.get("type", "FCNMaskHead") == "CoarseMaskHead":
@@ -331,8 +352,13 @@ class TwoStageDetector(nn.Module):
                     upsample_type=up_cfg.get("type", "deconv"),
                     upsample_cfg=up_cfg,
                     dtype=dt, name="mask_head")
-            self.mask_extractor_cfg = self._setup_extractor(
-                dict(cfg["mask_roi_extractor"]), "mask", dt)
+            # C4 mask branch has NO extractor of its own: it reuses the
+            # bbox branch's res5 features (reference standard_roi_head.py
+            # _mask_forward share_roi_extractor path)
+            self.mask_extractor_cfg = (
+                self._setup_extractor(dict(cfg["mask_roi_extractor"]),
+                                      "mask", dt)
+                if cfg.get("mask_roi_extractor") is not None else None)
         else:
             self.mask_head_m = None
         if cfg.get("mask_iou_head") is not None:
@@ -491,14 +517,30 @@ class TwoStageDetector(nn.Module):
         ``double_roi_head.py:16-27`` ``reg_roi_scale_factor``)."""
         bf = self._roi_align_cfg(self.bbox_extractor_cfg, feats, rois,
                                  roi_valid, flat_pack=flat_pack)
+        if self.shared_head_m is not None:
+            bf = self.shared_head_m(bf)
         if getattr(self, "double_head", False):
             from ..roi_heads.bbox_head import scale_rois
             rf = self._roi_align_cfg(
                 self.bbox_extractor_cfg, feats,
                 scale_rois(rois, self.reg_roi_scale_factor), roi_valid,
                 flat_pack=flat_pack)
+            if self.shared_head_m is not None:
+                rf = self.shared_head_m(rf)
             return self.bbox_head_m(bf, rf)
         return self.bbox_head_m(bf)
+
+    def _mask_roi_feats(self, feats, rois, roi_valid, flat_pack=None):
+        """Mask-branch RoI features.  C4 (no mask extractor): bbox
+        extractor + shared res5 head, exactly the features the bbox head
+        saw (reference _mask_forward share_roi_extractor)."""
+        if self.mask_extractor_cfg is None:
+            mf = self._roi_align_cfg(self.bbox_extractor_cfg, feats, rois,
+                                     roi_valid, flat_pack=flat_pack)
+            return self.shared_head_m(mf) \
+                if self.shared_head_m is not None else mf
+        return self._roi_align_cfg(self.mask_extractor_cfg, feats, rois,
+                                   roi_valid, flat_pack=flat_pack)
 
     def _flat_pack(self, feats):
         strides = list(self.bbox_extractor_cfg.get("featmap_strides",
@@ -555,8 +597,7 @@ class TwoStageDetector(nn.Module):
             "featmap_strides", [4, 8, 16, 32]))
         extra = [self._bbox_head_forward(feats, rois, None)]
         if self.with_mask:
-            mf = self._roi_align_cfg(self.mask_extractor_cfg, feats, rois,
-                                     None)
+            mf = self._mask_roi_feats(feats, rois, None)
             ml = self.mask_head_m(mf)
             extra.append(ml)
             if self.mask_iou_head_m is not None:
@@ -884,9 +925,8 @@ class TwoStageDetector(nn.Module):
         gt_masks = batch["gt_masks"]
         mask_size = rcnn.get("mask_size", 28)
         rois, roi_valid = boxes_to_rois(pos_boxes, pos_is_pos)
-        mask_feats = self._roi_align_cfg(self.mask_extractor_cfg, feats,
-                                         rois, roi_valid,
-                                         flat_pack=flat_pack)
+        mask_feats = self._mask_roi_feats(feats, rois, roi_valid,
+                                          flat_pack=flat_pack)
         mask_logits = self.mask_head_m(mask_feats)           # (BP, 2S, 2S, C)
 
         bidx = jnp.arange(b)[:, None]
@@ -983,9 +1023,8 @@ class TwoStageDetector(nn.Module):
         # test_mixins: _bboxes = det_bboxes * scale_factor)
         if self.with_mask:
             rois, roi_valid = boxes_to_rois(det_boxes, det_valid)
-            mask_feats = self._roi_align_cfg(self.mask_extractor_cfg, feats,
-                                             rois, roi_valid,
-                                             flat_pack=flat_pack)
+            mask_feats = self._mask_roi_feats(feats, rois, roi_valid,
+                                              flat_pack=flat_pack)
             mask_logits = self.mask_head_m(mask_feats)
             probs = jax.nn.sigmoid(mask_logits[..., 0])
             out["mask_probs"] = probs.reshape(
@@ -1139,8 +1178,7 @@ class TwoStageDetector(nn.Module):
                 det_v = _flip_boxes(det_v, ph, pw, direction)
             if self.with_mask:
                 rois, roi_valid = boxes_to_rois(det_v, det_valid)
-                mf = self._roi_align_cfg(self.mask_extractor_cfg, feats,
-                                         rois, roi_valid)
+                mf = self._mask_roi_feats(feats, rois, roi_valid)
                 logits = self.mask_head_m(mf)
                 probs = jax.nn.sigmoid(logits[..., 0]).reshape(
                     b, -1, *logits.shape[1:3])

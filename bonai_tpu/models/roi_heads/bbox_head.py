@@ -30,6 +30,9 @@ class Shared2FCBBoxHead(nn.Module):
     num_shared_convs: int = 0
     num_shared_fcs: int = 2
     conv_out_channels: int = 256
+    # plain BBoxHead with_avg_pool (reference bbox_head.py:24-36; the C4
+    # configs): global-average-pool the RoI map before the linear heads
+    with_avg_pool: bool = False
     norm_cfg: Any = None
     conv_cfg: Any = None
     dtype: Any = jnp.float32
@@ -46,6 +49,8 @@ class Shared2FCBBoxHead(nn.Module):
                     x, self.conv_out_channels, 3, f"shared_conv{i + 1}",
                     self.dtype, norm_cfg=self.norm_cfg,
                     conv_cfg=self.conv_cfg))
+        if self.with_avg_pool:
+            x = x.mean(axis=(1, 2))
         x = x.reshape(n, -1)
         for i in range(self.num_shared_fcs):
             x = nn.relu(nn.Dense(self.fc_out_channels, dtype=self.dtype,

@@ -5,10 +5,11 @@
 # bc_v100.02.08 recipe and is required for metric parity.
 model = dict(
     type='LOFT',
-    # production RoIAlign: Pallas strip-DMA forward + fused corner-scatter
-    # backward (ops/pallas_roi_align_fused.py); falls back to the XLA
-    # gather formulation off-TPU
-    roi_align_impl='pallas',
+    # production RoIAlign: block-DMA Pallas kernel — one rectangular DMA
+    # per RoI fwd, pipelined K-chain RMW bwd (ops/pallas_roi_align_block
+    # .py; measured 17.8 vs 16.4 img/s/chip with the strip kernel
+    # 'pallas'); falls back to the XLA gather formulation off-TPU
+    roi_align_impl='block',
     pretrained='torchvision://resnet50',
     backbone=dict(
         type='ResNet', depth=50, num_stages=4, out_indices=(0, 1, 2, 3),
