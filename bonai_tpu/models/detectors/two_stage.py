@@ -501,8 +501,15 @@ class TwoStageDetector(nn.Module):
             fn = pallas_multilevel_roi_align
             extra["backward"] = extractor_cfg.get("roi_backward", "rmw")
         elif impl == "block":
+            import os
             from ...ops.pallas_roi_align_block import pallas_block_roi_align
             fn = pallas_block_roi_align
+            # K-chain count of the RMW backward: more chains = more DMA
+            # overlap but chains x level-size HBM partials (P2 is 67 MB
+            # per chain at 1024^2 b=2); env knob for A/B benchmarking
+            extra["chains"] = int(
+                os.environ.get("BONAI_BLOCK_CHAINS")
+                or extractor_cfg.get("roi_chains", 4))
         else:
             fn = multilevel_roi_align
         return fn(
